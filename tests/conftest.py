@@ -1,0 +1,15 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the multi-host-testability plan in SURVEY.md §4: sharding logic is
+validated on `--xla_force_host_platform_device_count=8` CPU devices; real-TPU
+behavior is covered by bench.py and the driver's compile checks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
