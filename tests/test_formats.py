@@ -99,8 +99,8 @@ def test_exl2_act_order():
     t = F.exl2_pack(w[perm], [4] * 4, group_rows=32, invperm=invperm)
     deq = F.exl2_dequantize(t, original_order=True)
     deq_stored = F.exl2_dequantize(t, original_order=False)
-    np.testing.assert_allclose(deq, deq_stored[np.argsort(invperm)][
-        np.argsort(np.argsort(invperm))], rtol=0, atol=0)
+    # stored row j holds original row perm[j]  =>  deq == deq_stored[invperm]
+    np.testing.assert_array_equal(deq, deq_stored[invperm])
     # original-order dequant approximates the original-order weight
     assert np.abs(deq - w).mean() < 0.2
     # stored-order dequant approximates the permuted weight
