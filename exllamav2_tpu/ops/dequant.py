@@ -55,15 +55,32 @@ def unpack_words(words: jax.Array, bits: int) -> jax.Array:
     return out.reshape(qrows // bits * 32, n).astype(jnp.int32)
 
 
+def fp16_round(x: jax.Array) -> jax.Array:
+    """Round f32 (non-negative, finite) to the nearest fp16 value, in f32.
+
+    Bit-level emulation (Mosaic has no f16<->f32 casts): RNE-truncate the
+    mantissa to 10 bits for the fp16 normal range, explicit step rounding for
+    fp16 subnormals (< 2^-14).
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    odd = (u >> jnp.uint32(13)) & jnp.uint32(1)
+    r = (u + jnp.uint32(0xFFF) + odd) & jnp.uint32(0xFFFFE000)
+    normal = jax.lax.bitcast_convert_type(r, jnp.float32)
+    # subnormal range: round to a multiple of 2^-24 (RNE via jnp.round)
+    sub = jnp.round(x * jnp.float32(2.0 ** 24)) * jnp.float32(2.0 ** -24)
+    return jnp.where(x < jnp.float32(2.0 ** -14), sub, normal)
+
+
 def exl2_scales(qscale: jax.Array, smax: jax.Array) -> jax.Array:
     """Decode EXL2 sqrt-encoded scales -> f32 [groups, N].
 
     Exact fp16 semantics of dq_scale (qdq_util.cuh:24-31): one fp16 rounding
-    of (qs^2) * (q_scale_max/256).
+    of (qs^2) * (q_scale_max/256). qs^2 <= 256 and smax are fp16-exact, so the
+    f32 product is exact and a single fp16 rounding reproduces the reference.
     """
-    qs = qscale.astype(jnp.float32)
-    s = (qs * qs) * smax          # smax [groups, 1], already /256 fp16-rounded
-    return s.astype(jnp.float16).astype(jnp.float32)
+    qs = qscale.astype(jnp.int32)
+    s = (qs * qs).astype(jnp.float32) * smax  # smax [groups, 1], fp16/256
+    return fp16_round(s)
 
 
 def _broadcast_groups(per_group: jax.Array, rows: int, group_rows: int) -> jax.Array:

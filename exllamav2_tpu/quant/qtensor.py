@@ -38,6 +38,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# K-rows of every segment are padded to a multiple of this at load time, with
+# zeroed packed words and zero smax (so padded rows dequantize to exactly 0).
+# Lets the fused matmul kernel tile K without in-kernel masking.
+SEG_K_PAD = 256
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["qweight", "qscale", "smax"],
          meta_fields=["bits", "rows", "group_rows"])
@@ -116,6 +122,19 @@ def from_exl2(t: F.Exl2Tensor, lane_pad: int = 128) -> QuantLinear:
             qs = np.concatenate(
                 [qs, np.ones((qs.shape[0], n_pad - t.n), np.uint16)], axis=1)
         smax = smax_all[seg.group_start:seg.group_start + seg.groups]
+        # pad K-rows to SEG_K_PAD: zero words + zero smax; the matmul pads the
+        # matching activation columns with zeros, so padded rows contribute 0
+        rows_pad = _round_up(seg.rows, SEG_K_PAD)
+        qrows_pad = rows_pad * seg.bits // 32
+        groups_pad = rows_pad // seg.group_rows
+        if qrows_pad > packed.shape[0]:
+            packed = np.concatenate([packed, np.zeros(
+                (qrows_pad - packed.shape[0], n_pad), np.uint32)], axis=0)
+        if groups_pad > qs.shape[0]:
+            qs = np.concatenate([qs, np.ones(
+                (groups_pad - qs.shape[0], n_pad), np.uint16)], axis=0)
+            smax = np.concatenate(
+                [smax, np.zeros((groups_pad - smax.shape[0],), np.float32)])
         segs.append(QuantSegment(
             qweight=jnp.asarray(packed, dtype=jnp.uint32),
             qscale=jnp.asarray(qs.astype(np.uint8)),
@@ -173,10 +192,14 @@ def from_gptq(t: F.GptqTensor, lane_pad: int = 128) -> QuantLinear:
          meta_fields=["bits", "rows", "group_rows"])
 @dataclasses.dataclass
 class GptqSegment:
-    """GPTQ layout: explicit per-group fp16 scales and integer zeros."""
+    """GPTQ layout: explicit per-group scales and integer zeros.
+
+    Scales are the checkpoint's fp16 values stored as f32 (Mosaic kernels
+    cannot cast f16 in-register); zeros carry the GPTQ +1 offset.
+    """
     qweight: jax.Array      # uint32 [qrows, N]
-    scale: jax.Array        # f16    [groups, N]
-    zero: jax.Array         # uint8  [groups, N]  (with the +1 applied)
+    scale: jax.Array        # f32    [groups, N]
+    zero: jax.Array         # int32  [groups, N]  (with the +1 applied)
     bits: int
     rows: int
     group_rows: int
@@ -198,10 +221,23 @@ def _gptq_segment(q: np.ndarray, zeros: np.ndarray, scales: np.ndarray,
         scales = np.concatenate(
             [scales, np.zeros((scales.shape[0], n_pad - n), np.float32)], axis=1)
     packed = F.pack_bitstream(q, bits).view(np.uint32)
+    # pad K-rows to SEG_K_PAD with zero words / zero scales (see from_exl2)
+    rows_pad = _round_up(k, SEG_K_PAD)
+    qrows_pad = rows_pad * bits // 32
+    groups_pad = max(rows_pad // gs, scales.shape[0])
+    if qrows_pad > packed.shape[0]:
+        packed = np.concatenate([packed, np.zeros(
+            (qrows_pad - packed.shape[0], n_pad), np.uint32)], axis=0)
+    if groups_pad > scales.shape[0]:
+        pad_g = groups_pad - scales.shape[0]
+        scales = np.concatenate(
+            [scales, np.zeros((pad_g, n_pad), np.float32)], axis=0)
+        zeros = np.concatenate(
+            [zeros, np.zeros((pad_g, n_pad), np.uint16)], axis=0)
     return GptqSegment(
         qweight=jnp.asarray(packed),
-        scale=jnp.asarray(scales.astype(np.float16)),
-        zero=jnp.asarray(zeros.astype(np.uint8)),
+        scale=jnp.asarray(scales.astype(np.float16).astype(np.float32)),
+        zero=jnp.asarray(zeros.astype(np.int32)),
         bits=bits, rows=k, group_rows=gs)
 
 
