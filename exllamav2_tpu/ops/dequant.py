@@ -1,58 +1,23 @@
-"""Vectorized dequantization of packed bit-streams (jnp; also used in Pallas).
+"""Vectorized dequantization of plane-packed weights (jnp; also used in Pallas).
 
-The stored EXL2/GPTQ bit-stream packs values per column, little-endian along K
-(see quant/formats.py). Because every 32 rows occupy exactly `bits` words for
-any width, unpacking is a *static* pattern: reshape the word stream into
-blocks of `bits` words and emit 32 values per block with unrolled shifts —
-pure VPU shift/mask ops, no gathers. This replaces the reference's CUDA
-register shuffle + per-width dequant routines (cuda/quant/qdq_*.cuh) with an
-XLA/Mosaic-friendly formulation.
+Works on the TPU device layout produced by quant/qtensor.py: per-bit-plane
+uint32 words, strided within 256-row sub-blocks so that unpacking is a static
+pattern of full-block shifts + concats (natural row order, no interleaving
+relayouts). Replaces the reference's CUDA register shuffle + per-width dequant
+routines (cuda/quant/qdq_*.cuh) with an XLA/Mosaic-friendly formulation.
 
 All functions work both at the JAX level and inside Pallas kernel bodies.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["unpack_words", "exl2_scales", "dequant_segment_values",
-           "dequant_exl2_segment", "dequant_gptq_segment", "dequant_linear"]
+from exllamav2_tpu.quant.qtensor import SUB_BLOCK, GptqSegment
 
-
-def unpack_words(words: jax.Array, bits: int) -> jax.Array:
-    """Unpack uint32 words [qrows, N] -> int32 values [qrows*32//bits, N].
-
-    Static unrolled shifts; 32 values per `bits`-word block.
-    """
-    qrows, n = words.shape
-    w = words.astype(jnp.uint32)
-    mask = jnp.uint32((1 << bits) - 1)
-    if 32 % bits == 0:
-        # one word yields 32/bits values; no cross-word reads
-        per = 32 // bits
-        vals = [(w >> jnp.uint32(i * bits)) & mask for i in range(per)]
-        out = jnp.stack(vals, axis=1)                     # [qrows, per, N]
-        return out.reshape(qrows * per, n).astype(jnp.int32)
-    # 3/5/6-bit: blocks of `bits` words hold 32 values. A trailing short group
-    # may leave a partial block; pad words with zeros (extra values are sliced
-    # away by the caller).
-    if qrows % bits != 0:
-        pad = bits - qrows % bits
-        w = jnp.concatenate([w, jnp.zeros((pad, n), jnp.uint32)], axis=0)
-        qrows += pad
-    blocks = w.reshape(qrows // bits, bits, n)
-    vals = []
-    for i in range(32):
-        j = i * bits
-        wi, s = j // 32, j % 32
-        v = blocks[:, wi] >> jnp.uint32(s)
-        if s + bits > 32:
-            v = v | (blocks[:, wi + 1] << jnp.uint32(32 - s))
-        vals.append(v & mask)
-    out = jnp.stack(vals, axis=1)                         # [blocks, 32, N]
-    return out.reshape(qrows // bits * 32, n).astype(jnp.int32)
+__all__ = ["fp16_round", "unpack_plane", "unpack_planes", "exl2_scales",
+           "broadcast_groups", "dequant_segment", "dequant_linear"]
 
 
 def fp16_round(x: jax.Array) -> jax.Array:
@@ -66,9 +31,40 @@ def fp16_round(x: jax.Array) -> jax.Array:
     odd = (u >> jnp.uint32(13)) & jnp.uint32(1)
     r = (u + jnp.uint32(0xFFF) + odd) & jnp.uint32(0xFFFFE000)
     normal = jax.lax.bitcast_convert_type(r, jnp.float32)
-    # subnormal range: round to a multiple of 2^-24 (RNE via jnp.round)
     sub = jnp.round(x * jnp.float32(2.0 ** 24)) * jnp.float32(2.0 ** -24)
     return jnp.where(x < jnp.float32(2.0 ** -14), sub, normal)
+
+
+def unpack_plane(words: jax.Array, bp: int) -> jax.Array:
+    """Unpack one plane's words [nsb*Qsb, N] -> int32 values [nsb*256, N].
+
+    Qsb = SUB_BLOCK*bp/32; natural row r of sub-block sb lives in word
+    (r mod Qsb) at bit slot (r div Qsb). Emits full-block concats only.
+    """
+    qrows, n = words.shape
+    qsb = SUB_BLOCK * bp // 32
+    per = 32 // bp
+    nsb = qrows // qsb
+    assert nsb * qsb == qrows, (qrows, bp)
+    w = words.astype(jnp.uint32)
+    mask = jnp.uint32((1 << bp) - 1)
+    pieces = []
+    for sb in range(nsb):
+        wsb = w[sb * qsb:(sb + 1) * qsb]
+        pieces += [((wsb >> jnp.uint32(j * bp)) & mask).astype(jnp.int32)
+                   for j in range(per)]
+    return jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+
+
+def unpack_planes(planes, plane_bits) -> jax.Array:
+    """Combine bit planes -> int32 values [rows_pad, N]."""
+    total = None
+    shift = 0
+    for bp, words in zip(plane_bits, planes):
+        v = unpack_plane(words, bp)
+        total = v if total is None else total | (v << shift)
+        shift += bp
+    return total
 
 
 def exl2_scales(qscale: jax.Array, smax: jax.Array) -> jax.Array:
@@ -83,43 +79,30 @@ def exl2_scales(qscale: jax.Array, smax: jax.Array) -> jax.Array:
     return fp16_round(s)
 
 
-def _broadcast_groups(per_group: jax.Array, rows: int, group_rows: int) -> jax.Array:
-    """Expand [groups, N] -> [rows, N] repeating each group row group_rows times."""
+def broadcast_groups(per_group: jax.Array, group_rows: int) -> jax.Array:
+    """[groups, N] -> [groups*group_rows, N] via full-block broadcasts+concat
+    (Mosaic-friendly; jnp.repeat lowers to an unsupported scatter)."""
     groups, n = per_group.shape
-    full = jnp.repeat(per_group, group_rows, axis=0, total_repeat_length=groups * group_rows)
-    if groups * group_rows == rows:
-        return full
-    return full[:rows]
+    if groups == 1:
+        return jnp.broadcast_to(per_group, (group_rows, n))
+    return jnp.concatenate(
+        [jnp.broadcast_to(per_group[g:g + 1], (group_rows, n))
+         for g in range(groups)], axis=0)
 
 
-def dequant_segment_values(seg) -> jax.Array:
-    """Unpack a segment's quantized integers -> int32 [rows, N]."""
-    vals = unpack_words(seg.qweight, seg.bits)
-    return vals[:seg.rows]
-
-
-def dequant_exl2_segment(seg, dtype=jnp.bfloat16) -> jax.Array:
-    """Dequantize a QuantSegment -> [rows, N]."""
-    vals = dequant_segment_values(seg)
-    scales = exl2_scales(seg.qscale, seg.smax)
-    zero = float(2 ** (seg.bits - 1))
-    srows = _broadcast_groups(scales, seg.rows, seg.group_rows)
-    return ((vals.astype(jnp.float32) - zero) * srows).astype(dtype)
-
-
-def dequant_gptq_segment(seg, dtype=jnp.bfloat16) -> jax.Array:
-    """Dequantize a GptqSegment -> [rows, N]: (q - zero) * scale."""
-    vals = dequant_segment_values(seg)
-    zrows = _broadcast_groups(seg.zero.astype(jnp.int32), seg.rows, seg.group_rows)
-    srows = _broadcast_groups(seg.scale.astype(jnp.float32), seg.rows, seg.group_rows)
-    return ((vals - zrows).astype(jnp.float32) * srows).astype(dtype)
-
-
-def dequant_segment(seg, dtype=jnp.bfloat16) -> jax.Array:
-    from exllamav2_tpu.quant.qtensor import GptqSegment
+def dequant_segment(seg, dtype=jnp.bfloat16, rows: int | None = None) -> jax.Array:
+    """Dequantize a segment -> [rows or seg.rows, N]."""
+    vals = unpack_planes(seg.planes, seg.plane_bits)
     if isinstance(seg, GptqSegment):
-        return dequant_gptq_segment(seg, dtype)
-    return dequant_exl2_segment(seg, dtype)
+        srows = broadcast_groups(seg.scale, seg.group_rows)[:seg.rows_pad]
+        zrows = broadcast_groups(seg.zero, seg.group_rows)[:seg.rows_pad]
+        w = ((vals - zrows).astype(jnp.float32) * srows).astype(dtype)
+    else:
+        scales = exl2_scales(seg.qscale, seg.smax)
+        srows = broadcast_groups(scales, seg.group_rows)[:seg.rows_pad]
+        zero = float(2 ** (seg.bits - 1))
+        w = ((vals.astype(jnp.float32) - zero) * srows).astype(dtype)
+    return w[:seg.rows if rows is None else rows]
 
 
 def dequant_linear(ql, dtype=jnp.bfloat16, original_order: bool = True) -> jax.Array:

@@ -1,4 +1,4 @@
-"""jnp dequant ops vs the numpy golden codecs."""
+"""TPU plane layout + jnp dequant ops vs the numpy golden codecs."""
 
 import numpy as np
 import pytest
@@ -10,14 +10,39 @@ from exllamav2_tpu.ops import dequant as D
 import jax.numpy as jnp
 
 
-@pytest.mark.parametrize("bits", [2, 3, 4, 5, 6, 8])
-def test_unpack_words_matches_numpy(bits):
+@pytest.mark.parametrize("bits", [1, 2, 3, 4, 5, 6, 8])
+def test_plane_pack_roundtrip_numpy(bits):
     rng = np.random.default_rng(bits)
-    rows, n = 160, 128
+    rows, n = 512, 128
     v = rng.integers(0, 2 ** bits, size=(rows, n)).astype(np.uint16)
-    packed = F.pack_bitstream(v, bits).view(np.uint32)
-    out = D.unpack_words(jnp.asarray(packed), bits)
-    np.testing.assert_array_equal(np.asarray(out)[:rows], v)
+    planes = Q.pack_planes(v, bits)
+    assert [p.shape[0] for p in planes] == \
+        [rows * bp // 32 for bp in Q.plane_split(bits)]
+    out = Q.unpack_planes_np(planes, bits, n)
+    np.testing.assert_array_equal(out, v)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 5, 6, 8])
+def test_unpack_planes_jnp(bits):
+    rng = np.random.default_rng(bits + 50)
+    rows, n = 256, 128
+    v = rng.integers(0, 2 ** bits, size=(rows, n)).astype(np.uint16)
+    planes = Q.pack_planes(v, bits)
+    out = D.unpack_planes([jnp.asarray(p) for p in planes],
+                          Q.plane_split(bits))
+    np.testing.assert_array_equal(np.asarray(out), v)
+
+
+def test_fp16_round_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.random(512).astype(np.float32) * 0.1,
+        rng.random(512).astype(np.float32) * 1e-5,   # fp16 subnormal range
+        rng.random(512).astype(np.float32) * 100,
+    ]).reshape(12, 128)
+    got = np.asarray(D.fp16_round(jnp.asarray(x)))
+    expect = x.astype(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(got, expect)
 
 
 @pytest.mark.parametrize("bits", [2, 3, 4, 5, 6, 8])
@@ -86,8 +111,6 @@ def test_gptq_act_order_dequant():
     q = rng.integers(0, 16, size=(k, n)).astype(np.uint16)
     zeros = np.full((g, n), 8, dtype=np.uint16)
     scales = rng.random((g, n)).astype(np.float32) * 0.1 + 0.01
-    # realistic act-order g_idx: row k belongs to group invperm[k] // gs,
-    # i.e. every group has exactly gs member rows
     perm = rng.permutation(k)
     g_idx = (np.argsort(perm) // gs).astype(np.int32)
     t = F.gptq_pack(q, zeros, scales, bits=4, g_idx=g_idx)
