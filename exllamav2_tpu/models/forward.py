@@ -1,0 +1,236 @@
+"""Pure-function forward pass for decoder models.
+
+The TPU-native equivalent of the reference's fused CUDA layer path
+(ext_c.q_attn_forward_1/2 + q_mlp_forward_, attn.py:1126-1191,
+mlp.py:318). One jitted call covers the whole model; XLA fuses norms,
+RoPE, residuals and activations into the quantized matmuls, which is the
+role CUDA graphs + hand-fused kernels play in the reference.
+
+Attention math follows attn.py:869-937 (_attn_torch) semantics: GQA by
+head grouping, f32 softmax, optional softcap (Gemma2), sliding window,
+causal masking against a linear KV cache. Paged attention replaces the
+cache indexing in the generator stage.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from exllamav2_tpu.architecture import RopeStyle
+from exllamav2_tpu.cache import KVCache
+from exllamav2_tpu.models.modules import (
+    AttnWeights, MLPWeights, MoEWeights, ModelWeights, NormWeights,
+    StaticModel)
+from exllamav2_tpu.ops.qmm import linear_apply
+from exllamav2_tpu.ops.rope import apply_rope
+
+__all__ = ["norm_apply", "attn_forward", "mlp_forward", "moe_forward",
+           "model_forward"]
+
+_NEG = -1e30
+
+
+def _fz(st: StaticModel):
+    """fused-kernel policy arg for linear_apply (None = auto by row count)."""
+    return None if st.fused_matmul else False
+
+
+def norm_apply(x: jax.Array, w: NormWeights, st: StaticModel) -> jax.Array:
+    """RMS or LayerNorm in f32 (rms_norm.cu / layer_norm.cu analog)."""
+    xf = x.astype(jnp.float32)
+    if st.norm_type == "rms":
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + st.norm_eps)
+    else:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + st.norm_eps)
+    wgt = w.weight.astype(jnp.float32) + st.norm_constant_bias
+    y = y * wgt
+    if w.bias is not None:
+        y = y + w.bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _head_norm(x: jax.Array, w: NormWeights, eps: float) -> jax.Array:
+    """Per-head RMS norm over head_dim (headnorm.py analog), f32."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * w.weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope_style(st: StaticModel) -> RopeStyle:
+    return {"neox": RopeStyle.NEOX, "gptj": RopeStyle.GPTJ,
+            "none": RopeStyle.NONE}[st.rope_style]
+
+
+def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
+                 layer: int, sin: jax.Array, cos: jax.Array,
+                 cache: KVCache, past_len) -> tuple[jax.Array, KVCache]:
+    """x [B, T, d] -> (attn output [B, T, d], updated cache).
+
+    sin/cos are already gathered for positions [past_len, past_len+T).
+    """
+    b, t, d = x.shape
+    hq, hkv, hd = st.num_heads, st.num_kv_heads, st.head_dim
+    hidden = norm_apply(x, aw.norm, st)
+    h2 = hidden.reshape(b * t, d)
+
+    q = linear_apply(h2, aw.q, fused=_fz(st)).reshape(b, t, hq, hd)
+    k = linear_apply(h2, aw.k, fused=_fz(st)).reshape(b, t, hkv, hd)
+    v = linear_apply(h2, aw.v, fused=_fz(st)).reshape(b, t, hkv, hd)
+
+    if st.use_qk_norm:
+        q = _head_norm(q, aw.q_norm, st.norm_eps)
+        k = _head_norm(k, aw.k_norm, st.norm_eps)
+
+    style = _rope_style(st)
+    q = apply_rope(q.astype(jnp.bfloat16), sin, cos, style)
+    k = apply_rope(k.astype(jnp.bfloat16), sin, cos, style)
+    v = v.astype(jnp.bfloat16)
+
+    cache = cache.update(layer, k, v, past_len)
+    ck, cv = cache.layer(layer)               # [B, S, Hkv, D]
+    s = ck.shape[1]
+
+    scale = st.attn_scale if st.attn_scale is not None else hd ** -0.5
+    g = st.q_per_kv
+    qg = q.reshape(b, t, hkv, g, hd)
+    # scores [B, Hkv, G, T, S] in f32
+    scores = jnp.einsum("btkgd,bskd->bkgts", qg, ck,
+                        preferred_element_type=jnp.float32) * scale
+    if st.attn_logit_softcap > 0.0:
+        cap = st.attn_logit_softcap
+        scores = jnp.tanh(scores / cap) * cap
+
+    pos_q = jnp.asarray(past_len, jnp.int32) + jnp.arange(t, dtype=jnp.int32)
+    pos_k = jnp.arange(s, dtype=jnp.int32)
+    mask = pos_k[None, :] <= pos_q[:, None]                  # causal
+    window = st.layers[layer].sliding_window if st.layers else 0
+    if window > 0:
+        mask &= pos_k[None, :] > pos_q[:, None] - window
+    scores = jnp.where(mask[None, None, None], scores, _NEG)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, cv,
+                     preferred_element_type=jnp.float32)
+    out = out.astype(jnp.bfloat16).reshape(b * t, hq * hd)
+    out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, t, -1)
+    return out, cache
+
+
+def _act(x: jax.Array, kind: str) -> jax.Array:
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "gelu":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(kind)
+
+
+def mlp_forward(x: jax.Array, mw: MLPWeights, st: StaticModel) -> jax.Array:
+    """Gated/ungated MLP (q_mlp.cu:78-150 analog)."""
+    b, t, d = x.shape
+    hidden = norm_apply(x, mw.norm, st).reshape(b * t, d)
+    up = linear_apply(hidden, mw.up, fused=_fz(st))
+    if st.mlp_gated and mw.gate is not None:
+        gate = linear_apply(hidden, mw.gate, fused=_fz(st))
+        inter = _act(gate, st.mlp_act) * up
+    else:
+        inter = _act(up, st.mlp_act)
+    out = linear_apply(inter.astype(jnp.bfloat16), mw.down, fused=_fz(st))
+    return out.reshape(b, t, -1)
+
+
+def moe_forward(x: jax.Array, mw: MoEWeights, st: StaticModel) -> jax.Array:
+    """Block-sparse MoE (moe_mlp.py:282-317 analog).
+
+    TPU-friendly dense formulation: every expert runs on all tokens and
+    results are mixed by the (mostly-zero) routing weights — on-device this
+    is a batched matmul that the MXU eats, with no gather/scatter. An
+    expert-parallel ragged dispatch replaces this under sharding.
+    """
+    b, t, d = x.shape
+    hidden = norm_apply(x, mw.norm, st).reshape(b * t, d)
+    router_logits = linear_apply(hidden, mw.router, fused=_fz(st))          # [BT, E]
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(probs, st.num_experts_per_tok)
+    if st.norm_topk_prob:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    # dense mixing weights [BT, E]
+    mix = jnp.zeros_like(probs).at[
+        jnp.arange(probs.shape[0])[:, None], topi].set(topw)
+
+    out = None
+    hb = hidden.astype(jnp.bfloat16)
+    for e in range(st.num_experts):
+        gate = linear_apply(hb, mw.w1[e], fused=_fz(st))
+        up = linear_apply(hb, mw.w3[e], fused=_fz(st))
+        inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
+        y = linear_apply(inter, mw.w2[e], fused=_fz(st))                    # [BT, d]
+        y = y * mix[:, e:e + 1]
+        out = y if out is None else out + y
+    return out.reshape(b, t, -1)
+
+
+def _block_forward(x, layer_w, st, layer, sin, cos, cache, past_len):
+    if st.parallel_blocks:
+        # Cohere-style: attn and mlp on the same normed input
+        # (parallel_decoder.py:115-176)
+        attn_out, cache = attn_forward(
+            x, layer_w.attn, st, layer, sin, cos, cache, past_len)
+        mlp_in = x  # mlp shares the attn input norm via its own norm weights
+        mlp_out = mlp_forward(mlp_in, layer_w.mlp, st)
+        return x + attn_out + mlp_out, cache
+    attn_out, cache = attn_forward(
+        x, layer_w.attn, st, layer, sin, cos, cache, past_len)
+    x = x + attn_out
+    if isinstance(layer_w.mlp, MoEWeights):
+        x = x + moe_forward(x, layer_w.mlp, st)
+    else:
+        x = x + mlp_forward(x, layer_w.mlp, st)
+    return x, cache
+
+
+def model_forward(w: ModelWeights, st: StaticModel, ids: jax.Array,
+                  cache: KVCache, past_len,
+                  last_token_only: bool = False) -> tuple[jax.Array, KVCache]:
+    """ids [B, T] int32 -> (logits [B, T or 1, vocab] f32, cache).
+
+    The chunked-forward analog of model.py:938-1054; chunking across
+    max_input_len happens in the caller (generator), not here.
+    """
+    b, t = ids.shape
+    x = jnp.take(w.embed, ids, axis=0)                       # [B, T, d]
+    if st.normalize_embeddings:
+        x = (x.astype(jnp.float32) * (st.hidden_size ** 0.5))
+    if st.embedding_multiplier != 1.0:
+        x = x.astype(jnp.float32) * st.embedding_multiplier
+    x = x.astype(jnp.float32 if st.residual_fp32 else jnp.bfloat16)
+
+    pos = jnp.asarray(past_len, jnp.int32) + jnp.arange(t, dtype=jnp.int32)
+    sin = jnp.take(w.sin, pos, axis=0)                       # [T, rot/2]
+    cos = jnp.take(w.cos, pos, axis=0)
+
+    for layer in range(st.num_layers):
+        x, cache = _block_forward(
+            x, w.layers[layer], st, layer, sin, cos, cache, past_len)
+
+    if last_token_only:
+        x = x[:, -1:, :]
+    x = norm_apply(x, w.final_norm, st)
+    bt = x.shape[0] * x.shape[1]
+    logits = linear_apply(
+        x.reshape(bt, st.hidden_size), w.head,
+        fused=_fz(st)).astype(jnp.float32)
+    logits = logits.reshape(x.shape[0], x.shape[1], -1)
+    if st.logit_scale != 1.0:
+        logits = logits * st.logit_scale
+    if st.final_logit_softcap > 0.0:
+        cap = st.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
+    # head padding guard (model.py:1043-1051): pad columns to -inf
+    if logits.shape[-1] > st.vocab_size:
+        logits = logits[..., :st.vocab_size]
+    return logits, cache

@@ -1,0 +1,93 @@
+"""High-level model container.
+
+Analog of ExLlamaV2 (reference model.py:78-1054) minus device-placement
+gymnastics: on TPU a model is a weight pytree + a pair of jitted step
+functions (prefill / decode), with the KV cache donated between steps so
+XLA updates it in place.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exllamav2_tpu.cache import KVCache
+from exllamav2_tpu.config import ModelConfig
+from exllamav2_tpu.models.forward import model_forward
+from exllamav2_tpu.models.loader import load_model
+from exllamav2_tpu.models.modules import ModelWeights, StaticModel
+
+__all__ = ["Model"]
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))
+def _prefill_step(w, st, ids, cache, past_len):
+    return model_forward(w, st, ids, cache, past_len, last_token_only=True)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))
+def _decode_step(w, st, ids, cache, past_len):
+    return model_forward(w, st, ids, cache, past_len, last_token_only=False)
+
+
+class Model:
+    """Loaded model + jitted forward steps."""
+
+    def __init__(self, weights: ModelWeights, static: StaticModel,
+                 config: ModelConfig | None = None):
+        self.weights = weights
+        self.static = static
+        self.config = config
+
+    @classmethod
+    def from_dir(cls, model_dir: str, **cfg_overrides) -> "Model":
+        cfg = ModelConfig.from_dir(model_dir)
+        for k, v in cfg_overrides.items():
+            setattr(cfg, k, v)
+        w, st = load_model(cfg)
+        return cls(w, st, cfg)
+
+    def new_cache(self, batch: int = 1, max_seq: int | None = None,
+                  dtype=jnp.bfloat16) -> KVCache:
+        st = self.static
+        max_seq = max_seq or (self.config.max_seq_len if self.config else 2048)
+        return KVCache.alloc(st.num_layers, batch, max_seq,
+                             st.num_kv_heads, st.head_dim, dtype)
+
+    def forward(self, ids, cache: KVCache, past_len: int,
+                last_token_only: bool = False):
+        """ids [B, T] -> (logits f32, cache). Jit-cached per (T, B)."""
+        ids = jnp.asarray(ids, jnp.int32)
+        step = _prefill_step if last_token_only else _decode_step
+        return step(self.weights, self.static, ids, cache,
+                    jnp.int32(past_len))
+
+    def generate_greedy(self, prompt_ids: np.ndarray, max_new_tokens: int,
+                        max_seq: int | None = None,
+                        stop_token: int | None = None) -> np.ndarray:
+        """Reference-free greedy loop (test_inference.py prompt-mode analog).
+
+        prompt_ids [B, T0] -> [B, T0 + max_new]. Python loop on host; the
+        serving path lives in the generator which batches/schedules jobs.
+        """
+        prompt_ids = np.atleast_2d(np.asarray(prompt_ids, np.int32))
+        b, t0 = prompt_ids.shape
+        total = t0 + max_new_tokens
+        cache = self.new_cache(batch=b, max_seq=max_seq or total)
+        logits, cache = self.forward(prompt_ids, cache, 0,
+                                     last_token_only=True)
+        out = [prompt_ids]
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        pos = t0
+        for _ in range(max_new_tokens - 1):
+            out.append(np.asarray(tok)[:, None])
+            if stop_token is not None and bool((tok == stop_token).all()):
+                return np.concatenate(out, axis=1)
+            logits, cache = self.forward(tok[:, None], cache, pos)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            pos += 1
+        out.append(np.asarray(tok)[:, None])
+        return np.concatenate(out, axis=1)

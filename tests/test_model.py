@@ -1,0 +1,100 @@
+"""End-to-end model tests against the numpy reference and cache invariants."""
+
+import numpy as np
+import pytest
+
+from exllamav2_tpu.models.model import Model
+from exllamav2_tpu.utils.testing import make_tiny_llama
+
+from ref_llama import llama_forward
+
+
+@pytest.fixture(scope="module")
+def fp16_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_fp16")
+    return make_tiny_llama(str(d), quant=None, seed=1)
+
+
+@pytest.fixture(scope="module")
+def exl2_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_exl2")
+    return make_tiny_llama(str(d), quant="exl2", seed=2)
+
+
+@pytest.fixture(scope="module")
+def gptq_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_gptq")
+    return make_tiny_llama(str(d), quant="gptq", seed=3)
+
+
+def _rel_err(a, b):
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+
+
+def test_fp16_forward_matches_numpy(fp16_dir):
+    model = Model.from_dir(fp16_dir)
+    ids = np.array([[3, 17, 200, 9, 55, 123, 42, 7]], np.int32)
+    cache = model.new_cache(batch=1, max_seq=32)
+    logits, _ = model.forward(ids, cache, 0)
+    ref = llama_forward(fp16_dir, ids)
+    assert _rel_err(np.asarray(logits), ref) < 0.03
+
+
+@pytest.mark.parametrize("fix", ["exl2_dir", "gptq_dir"])
+def test_quant_forward_matches_numpy(fix, request):
+    d = request.getfixturevalue(fix)
+    model = Model.from_dir(d)
+    ids = np.array([[3, 17, 200, 9, 55, 123, 42, 7]], np.int32)
+    cache = model.new_cache(batch=1, max_seq=32)
+    logits, _ = model.forward(ids, cache, 0)
+    ref = llama_forward(d, ids)   # numpy dequant reference
+    assert _rel_err(np.asarray(logits), ref) < 0.03
+
+
+def test_decode_matches_prefill(fp16_dir):
+    """Token-by-token decode with cache == full-sequence forward."""
+    model = Model.from_dir(fp16_dir)
+    ids = np.array([[5, 99, 180, 7, 31, 64]], np.int32)
+    cache = model.new_cache(batch=1, max_seq=16)
+    full_logits, _ = model.forward(ids, cache, 0)
+    full_logits = np.asarray(full_logits)
+
+    cache = model.new_cache(batch=1, max_seq=16)
+    step_logits = []
+    for i in range(ids.shape[1]):
+        lg, cache = model.forward(ids[:, i:i + 1], cache, i)
+        step_logits.append(np.asarray(lg)[:, 0])
+    step_logits = np.stack(step_logits, axis=1)
+    assert _rel_err(step_logits, full_logits) < 0.02
+
+
+def test_greedy_generation_consistency(exl2_dir):
+    """Greedy gen then re-scoring the full sequence reproduces the tokens."""
+    model = Model.from_dir(exl2_dir)
+    prompt = np.array([[1, 50, 99]], np.int32)
+    seq = model.generate_greedy(prompt, 8, max_seq=32)
+    assert seq.shape == (1, 11)
+    cache = model.new_cache(batch=1, max_seq=32)
+    logits, _ = model.forward(seq, cache, 0)
+    pred = np.argmax(np.asarray(logits)[0, 2:-1], axis=-1)
+    assert (pred == seq[0, 3:]).all()
+
+
+def test_batched_forward(fp16_dir):
+    model = Model.from_dir(fp16_dir)
+    ids = np.array([[3, 17, 200, 9], [1, 2, 3, 4]], np.int32)
+    cache = model.new_cache(batch=2, max_seq=16)
+    logits, _ = model.forward(ids, cache, 0)
+    ref = llama_forward(fp16_dir, ids)
+    assert _rel_err(np.asarray(logits), ref) < 0.03
+
+
+def test_gqa_and_act_order(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant="exl2", seed=7,
+                        act_order=True, heads=8, kv_heads=2, hidden=256)
+    model = Model.from_dir(d)
+    ids = np.array([[11, 22, 33, 44]], np.int32)
+    cache = model.new_cache(batch=1, max_seq=8)
+    logits, _ = model.forward(ids, cache, 0)
+    ref = llama_forward(d, ids)
+    assert _rel_err(np.asarray(logits), ref) < 0.03
