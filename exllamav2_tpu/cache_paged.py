@@ -1,0 +1,144 @@
+"""Paged KV cache with optional quantization.
+
+TPU analog of the reference's paged cache (cache.py + the dynamic
+generator's page pool, dynamic.py:33 PAGE_SIZE=256): K/V live in a flat
+pool of pages indexed through per-sequence block tables; cache kinds map
+to the reference's ExLlamaV2Cache / _8bit / _Q4 / _Q6 / _Q8
+(cache.py:230-656). Quantization (ops/kvquant.py) happens on append for
+exactly the touched rows, like fp16_to_q_kv on store (cache.py:517-556).
+
+All updates are functional (donated into the jitted step). Page size is
+fixed at 256 like the reference (dynamic.py:33).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from exllamav2_tpu.ops import kvquant as KQ
+
+__all__ = ["PagedKVCache", "PAGE_SIZE"]
+
+PAGE_SIZE = 256
+
+
+def _kinds(kind: str) -> tuple[str, str]:
+    """cache kind -> (k kind, v kind); Q6 = 8-bit K + 4-bit V
+    (cache.cu:259-269)."""
+    if kind == "q6":
+        return "q8", "q4"
+    return kind, kind
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k_data", "k_scales", "v_data", "v_scales"],
+         meta_fields=["kind", "page_size", "head_dim"])
+@dataclasses.dataclass
+class PagedKVCache:
+    """Flat page pool: data [L, P * page_size, Hkv, D'] (+ scales)."""
+    k_data: jax.Array
+    k_scales: jax.Array | None
+    v_data: jax.Array
+    v_scales: jax.Array | None
+    kind: str
+    page_size: int
+    head_dim: int
+
+    @classmethod
+    def alloc(cls, num_layers: int, num_pages: int, kv_heads: int,
+              head_dim: int, kind: str = "bf16",
+              page_size: int = PAGE_SIZE) -> "PagedKVCache":
+        kk, vk = _kinds(kind)
+        rows = num_pages * page_size
+
+        def mk(k):
+            data = jnp.zeros((num_layers, rows, kv_heads,
+                              *KQ.data_shape(k, head_dim)[0:1]),
+                             KQ.data_dtype(k))
+            scales = None
+            if k in ("q4", "q8"):
+                scales = jnp.zeros(
+                    (num_layers, rows, kv_heads, head_dim // 32),
+                    jnp.bfloat16)
+            return data, scales
+
+        kd, ks = mk(kk)
+        vd, vs = mk(vk)
+        return cls(k_data=kd, k_scales=ks, v_data=vd, v_scales=vs,
+                   kind=kind, page_size=page_size, head_dim=head_dim)
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_data.shape[1] // self.page_size
+
+    @property
+    def num_layers(self) -> int:
+        return self.k_data.shape[0]
+
+    def append(self, layer: int, block_table: jax.Array,
+               cache_seqlens: jax.Array, new_k: jax.Array,
+               new_v: jax.Array) -> "PagedKVCache":
+        """Write new_k/new_v [B, T, H, D] at positions cache_seqlens[b]+t
+        of each sequence (through its block table [B, max_pages])."""
+        kk, vk = _kinds(self.kind)
+        b, t, h, d = new_k.shape
+        pos = cache_seqlens[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+        page_idx = jnp.take_along_axis(
+            block_table, pos // self.page_size, axis=1)       # [B, T]
+        rows = (page_idx * self.page_size + pos % self.page_size).reshape(-1)
+
+        def upd(data, scales, x, kind):
+            qd, qs = KQ.kv_quant(x.reshape(b * t, h, d), kind)
+            data = data.at[layer, rows].set(qd.astype(data.dtype))
+            if scales is not None:
+                scales = scales.at[layer, rows].set(qs)
+            return data, scales
+
+        kd, ks = upd(self.k_data, self.k_scales, new_k, kk)
+        vd, vs = upd(self.v_data, self.v_scales, new_v, vk)
+        return dataclasses.replace(self, k_data=kd, k_scales=ks,
+                                   v_data=vd, v_scales=vs)
+
+    def gather_layer(self, layer: int, block_table: jax.Array,
+                     dtype=jnp.bfloat16):
+        """Dequantized K/V [B, max_pages*page_size, H, D] for attention.
+
+        The jnp reference path (Pallas paged attention streams pages
+        instead of materializing this)."""
+        kk, vk = _kinds(self.kind)
+        ps = self.page_size
+
+        def gather(data, scales, kind):
+            # rows for all pages of all sequences
+            rows = (block_table[..., None] * ps
+                    + jnp.arange(ps, dtype=jnp.int32)).reshape(
+                        block_table.shape[0], -1)             # [B, S]
+            d = jnp.take(data[layer], rows, axis=0)           # [B, S, H, D']
+            s = None if scales is None else jnp.take(
+                scales[layer], rows, axis=0)
+            return KQ.kv_dequant(d, s, kind, dtype)
+
+        k = gather(self.k_data, self.k_scales, kk)
+        v = gather(self.v_data, self.v_scales, vk)
+        return k, v
+
+    def copy_pages(self, src_rows: jax.Array, dst_rows: jax.Array
+                   ) -> "PagedKVCache":
+        """Copy whole pages (dedup / defrag support, cache.py:179-215
+        copy_states + cache_rotate analog). src/dst are page indices."""
+        ps = self.page_size
+        s = (src_rows[:, None] * ps + jnp.arange(ps)[None]).reshape(-1)
+        t = (dst_rows[:, None] * ps + jnp.arange(ps)[None]).reshape(-1)
+
+        def cp(a):
+            if a is None:
+                return None
+            return a.at[:, t].set(a[:, s])
+
+        return dataclasses.replace(
+            self, k_data=cp(self.k_data), k_scales=cp(self.k_scales),
+            v_data=cp(self.v_data), v_scales=cp(self.v_scales))

@@ -66,13 +66,10 @@ def _rope_style(st: StaticModel) -> RopeStyle:
             "none": RopeStyle.NONE}[st.rope_style]
 
 
-def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
-                 layer: int, sin: jax.Array, cos: jax.Array,
-                 cache: KVCache, past_len) -> tuple[jax.Array, KVCache]:
-    """x [B, T, d] -> (attn output [B, T, d], updated cache).
-
-    sin/cos are already gathered for positions [past_len, past_len+T).
-    """
+def _attn_qkv(x: jax.Array, aw: AttnWeights, st: StaticModel,
+              sin: jax.Array, cos: jax.Array):
+    """Shared norm -> Q/K/V proj -> qk-norm -> RoPE front half
+    (ext_c.q_attn_forward_1 analog, attn.py:1126-1140)."""
     b, t, d = x.shape
     hq, hkv, hd = st.num_heads, st.num_kv_heads, st.head_dim
     hidden = norm_apply(x, aw.norm, st)
@@ -89,7 +86,19 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
     style = _rope_style(st)
     q = apply_rope(q.astype(jnp.bfloat16), sin, cos, style)
     k = apply_rope(k.astype(jnp.bfloat16), sin, cos, style)
-    v = v.astype(jnp.bfloat16)
+    return q, k, v.astype(jnp.bfloat16)
+
+
+def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
+                 layer: int, sin: jax.Array, cos: jax.Array,
+                 cache: KVCache, past_len) -> tuple[jax.Array, KVCache]:
+    """x [B, T, d] -> (attn output [B, T, d], updated cache).
+
+    sin/cos are already gathered for positions [past_len, past_len+T).
+    """
+    b, t, d = x.shape
+    hq, hkv, hd = st.num_heads, st.num_kv_heads, st.head_dim
+    q, k, v = _attn_qkv(x, aw, st, sin, cos)
 
     cache = cache.update(layer, k, v, past_len)
     ck, cv = cache.layer(layer)               # [B, S, Hkv, D]
@@ -119,6 +128,76 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
     out = out.astype(jnp.bfloat16).reshape(b * t, hq * hd)
     out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, t, -1)
     return out, cache
+
+
+def attn_forward_paged(x: jax.Array, aw: AttnWeights, st: StaticModel,
+                       layer: int, sin: jax.Array, cos: jax.Array,
+                       cache, block_table: jax.Array,
+                       cache_seqlens: jax.Array):
+    """Paged-cache attention block (attn.py:466-638 forward_paged analog)."""
+    from exllamav2_tpu.ops.paged_attn import paged_attention
+    b, t, d = x.shape
+    hq, hd = st.num_heads, st.head_dim
+    q, k, v = _attn_qkv(x, aw, st, sin, cos)
+    cache = cache.append(layer, block_table, cache_seqlens, k, v)
+    scale = st.attn_scale if st.attn_scale is not None else hd ** -0.5
+    window = st.layers[layer].sliding_window if st.layers else 0
+    out = paged_attention(q, cache, layer, block_table, cache_seqlens,
+                          scale=scale, window=window,
+                          softcap=st.attn_logit_softcap)
+    out = out.astype(jnp.bfloat16).reshape(b * t, hq * hd)
+    out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, t, -1)
+    return out, cache
+
+
+def model_forward_paged(w: ModelWeights, st: StaticModel, ids: jax.Array,
+                        cache, block_table: jax.Array,
+                        cache_seqlens: jax.Array,
+                        last_token_only: bool = False):
+    """Paged-cache full forward: ids [B, T] + per-sequence block tables.
+
+    The serving-path analog of forward_chunk with PagedParams
+    (model.py:938-1054 + attn_params.py:220-316)."""
+    b, t = ids.shape
+    x = jnp.take(w.embed, ids, axis=0)
+    if st.normalize_embeddings:
+        x = x.astype(jnp.float32) * (st.hidden_size ** 0.5)
+    if st.embedding_multiplier != 1.0:
+        x = x.astype(jnp.float32) * st.embedding_multiplier
+    x = x.astype(jnp.float32 if st.residual_fp32 else jnp.bfloat16)
+
+    # per-sequence positions differ -> gather per-batch rope rows
+    pos = cache_seqlens[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    sin = jnp.take(w.sin, pos, axis=0)        # [B, T, rot/2]
+    cos = jnp.take(w.cos, pos, axis=0)
+
+    for layer in range(st.num_layers):
+        lw = w.layers[layer]
+        attn_out, cache = attn_forward_paged(
+            x, lw.attn, st, layer, sin, cos, cache, block_table,
+            cache_seqlens)
+        x = x + attn_out
+        if isinstance(lw.mlp, MoEWeights):
+            x = x + moe_forward(x, lw.mlp, st)
+        else:
+            x = x + mlp_forward(x, lw.mlp, st)
+
+    if last_token_only:
+        x = x[:, -1:, :]
+    x = norm_apply(x, w.final_norm, st)
+    bt = x.shape[0] * x.shape[1]
+    logits = linear_apply(
+        x.reshape(bt, st.hidden_size), w.head,
+        fused=_fz(st)).astype(jnp.float32)
+    logits = logits.reshape(x.shape[0], x.shape[1], -1)
+    if st.logit_scale != 1.0:
+        logits = logits * st.logit_scale
+    if st.final_logit_softcap > 0.0:
+        cap = st.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
+    if logits.shape[-1] > st.vocab_size:
+        logits = logits[..., :st.vocab_size]
+    return logits, cache
 
 
 def _act(x: jax.Array, kind: str) -> jax.Array:
