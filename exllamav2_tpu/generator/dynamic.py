@@ -1,0 +1,568 @@
+"""Dynamic generator: continuous batching over the paged KV cache.
+
+TPU re-design of the reference's ExLlamaV2DynamicGenerator
+(generator/dynamic.py, 2642 lines). The host-side scheduler — page pool
+with blake2b hash-chain dedup (dynamic.py:35-51), LRU eviction by access
+serial (dynamic.py:2534-2628), chunked page-aligned prefill
+(dynamic.py:2330-2519), stop-condition machinery (dynamic.py:2149-2241) —
+ports conceptually 1:1 (it is pure Python). The device interface is
+redesigned for XLA + the TPU tunnel:
+
+  * batched decode runs as ONE jitted step: paged forward -> penalties ->
+    on-device sampling; only sampled ids cross back to the host (the
+    reference ships full logits to pinned CPU memory every step,
+    dynamic.py:1224-1238);
+  * token history lives in a device-side ring [slots, max_len] so
+    repetition penalties and the decode input gather never re-upload the
+    sequence;
+  * shapes are bucketed (batch and block-table width padded to powers of
+    two, dummy rows pointing at a reserved null page/slot) so a handful of
+    compilations cover every batch composition — the TPU analog of CUDA
+    graphs keyed by (bsz, q_len) (cuda/graph.cu).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import hashlib
+import time
+from collections import OrderedDict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exllamav2_tpu.cache_paged import PagedKVCache
+from exllamav2_tpu.generator.sampler import Settings, stack_settings
+from exllamav2_tpu.models.forward import model_forward_paged
+from exllamav2_tpu.ops.sampling import apply_penalties, sample
+
+__all__ = ["DynamicGenerator", "DynamicJob"]
+
+_HASH = lambda b: hashlib.blake2b(b, digest_size=16).digest()
+
+
+def _bucket(n: int, lo: int = 1) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class CachePage:
+    """One physical page (dynamic.py:59-169 analog)."""
+
+    __slots__ = ("index", "phash", "prev_hash", "ref_count",
+                 "access_serial", "kv_position")
+
+    def __init__(self, index: int):
+        self.index = index
+        self.phash: bytes | None = None
+        self.prev_hash: bytes | None = None
+        self.ref_count = 0
+        self.access_serial = 0
+        self.kv_position = 0
+
+
+class DynamicJob:
+    """One generation request (ExLlamaV2DynamicJob analog)."""
+
+    def __init__(self, input_ids, max_new_tokens: int = 128,
+                 settings: Settings | None = None,
+                 stop_conditions: list | None = None,
+                 decode_special_tokens: bool = False,
+                 seed: int = 0, identifier=None):
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        self.prompt_ids = ids
+        self.max_new_tokens = max_new_tokens
+        self.settings = settings or Settings()
+        self.identifier = identifier
+        self.seed = seed
+        self.decode_special_tokens = decode_special_tokens
+
+        self.stop_tokens: set[int] = set()
+        self.stop_strings: list[str] = []
+        for sc in (stop_conditions or []):
+            if isinstance(sc, int):
+                self.stop_tokens.add(sc)
+            elif isinstance(sc, str):
+                self.stop_strings.append(sc)
+            else:
+                self.stop_tokens.update(int(x) for x in sc)
+
+        # runtime state
+        self.status = "pending"        # pending -> prefill -> generating -> done
+        self.pages: list[CachePage] = []
+        self.page_hashes: list[bytes] = []
+        self.kv_pos = 0                # cached kv rows
+        self.reused_tokens = 0
+        self.slot = -1
+        self.sequence: np.ndarray = ids.copy()   # prompt + generated
+        self.new_tokens = 0
+        self.mirostat_mu = float(self.settings.mirostat_mu or 0.0)
+        self.held_text = ""
+        self.emitted_text = ""
+        self.eos_reason: str | None = None
+        self.time_enqueue = 0.0
+        self.time_first_token = 0.0
+        self.time_last_token = 0.0
+        self.rng = np.random.default_rng(seed)
+
+    @property
+    def prompt_len(self) -> int:
+        return len(self.prompt_ids)
+
+    def pages_needed(self, page_size: int) -> int:
+        total = self.prompt_len + self.max_new_tokens
+        return -(-total // page_size)
+
+
+class DynamicGenerator:
+    """Continuous-batching scheduler (ExLlamaV2DynamicGenerator analog)."""
+
+    def __init__(self, model, cache: PagedKVCache, tokenizer,
+                 max_batch_size: int = 32, max_chunk_size: int = 512,
+                 max_seq_len: int | None = None):
+        self.model = model
+        self.cache = cache
+        self.tokenizer = tokenizer
+        self.page_size = cache.page_size
+        self.max_batch_size = max_batch_size
+        self.max_chunk_size = max_chunk_size
+        self.max_seq_len = max_seq_len or (
+            cache.num_pages * self.page_size)
+
+        # page pool; page 0 reserved as the null page for padded batch rows
+        self.pages = [CachePage(i) for i in range(cache.num_pages)]
+        self.free_pages: list[CachePage] = self.pages[1:][::-1]
+        self.referenced: dict[bytes, CachePage] = {}
+        self.unreferenced: OrderedDict[bytes, CachePage] = OrderedDict()
+        self.access_serial = 0
+
+        # device-side token history; extra row = dummy slot for padding
+        self.num_slots = max_batch_size
+        self.hist = jnp.zeros((self.num_slots + 1, self.max_seq_len),
+                              jnp.int32)
+        self.free_slots = list(range(self.num_slots))[::-1]
+
+        self.pending: list[DynamicJob] = []
+        self.active: list[DynamicJob] = []
+        self._key = jax.random.PRNGKey(0)
+        self._compiled = {}
+
+    # ------------------------------------------------------------------
+    # page pool
+    # ------------------------------------------------------------------
+
+    def _touch(self, page: CachePage):
+        self.access_serial += 1
+        page.access_serial = self.access_serial
+
+    def _take_free_page(self) -> CachePage | None:
+        if self.free_pages:
+            p = self.free_pages.pop()
+            return p
+        if self.unreferenced:
+            # evict LRU by access serial (dynamic.py:2592-2628)
+            h, p = min(self.unreferenced.items(),
+                       key=lambda kv: kv[1].access_serial)
+            del self.unreferenced[h]
+            p.phash = None
+            p.prev_hash = None
+            return p
+        return None
+
+    def _free_capacity(self) -> int:
+        return len(self.free_pages) + len(self.unreferenced)
+
+    def _release_job_pages(self, job: DynamicJob):
+        for page in job.pages:
+            page.ref_count -= 1
+            if page.ref_count == 0:
+                del_ref = self.referenced.pop(page.phash, None) \
+                    if page.phash is not None else None
+                if page.phash is not None and del_ref is page:
+                    self.unreferenced[page.phash] = page
+                elif page.phash is not None and del_ref is not None:
+                    # another page holds this hash; keep it referenced
+                    self.referenced[page.phash] = del_ref
+                    page.phash = None
+                    self.free_pages.append(page)
+                else:
+                    self.free_pages.append(page)
+        job.pages = []
+
+    # ------------------------------------------------------------------
+    # job admission
+    # ------------------------------------------------------------------
+
+    def enqueue(self, job: DynamicJob) -> DynamicJob:
+        assert job.prompt_len + job.max_new_tokens <= self.max_seq_len, \
+            "job exceeds max_seq_len"
+        # prompt page hash chain (prepare_for_queue, dynamic.py:2244-2318)
+        job.page_hashes = []
+        prev = b""
+        ids = job.prompt_ids
+        for p in range(len(ids) // self.page_size):
+            chunk = ids[p * self.page_size:(p + 1) * self.page_size]
+            h = _HASH(prev + chunk.tobytes())
+            job.page_hashes.append(h)
+            prev = h
+        job.time_enqueue = time.perf_counter()
+        self.pending.append(job)
+        return job
+
+    def _try_start(self, job: DynamicJob) -> bool:
+        needed = job.pages_needed(self.page_size)
+        if not self.free_slots:
+            return False
+
+        # hash-chain prompt reuse: only pages that end strictly before the
+        # last prompt token can be referenced (the decode step appends at
+        # prompt_len-1; shared pages are never written)
+        reusable: list[CachePage] = []
+        for j, h in enumerate(job.page_hashes):
+            if (j + 1) * self.page_size > job.prompt_len - 1:
+                break
+            page = self.referenced.get(h)
+            if page is None:
+                page = self.unreferenced.pop(h, None)
+                if page is not None:
+                    self.referenced[h] = page
+            if page is None:
+                break
+            reusable.append(page)
+
+        fresh_needed = needed - len(reusable)
+        if self._free_capacity() < fresh_needed:
+            # roll back unreferenced->referenced moves we made above
+            for j, page in enumerate(reusable):
+                if page.ref_count == 0 and page.phash in self.referenced:
+                    del self.referenced[page.phash]
+                    self.unreferenced[page.phash] = page
+            return False
+
+        pages: list[CachePage] = []
+        for page in reusable:
+            page.ref_count += 1
+            self.referenced[page.phash] = page
+            self._touch(page)
+            pages.append(page)
+        for _ in range(fresh_needed):
+            page = self._take_free_page()
+            assert page is not None
+            page.ref_count = 1
+            page.kv_position = 0
+            self._touch(page)
+            pages.append(page)
+
+        job.pages = pages
+        job.reused_tokens = len(reusable) * self.page_size
+        job.kv_pos = job.reused_tokens
+        job.slot = self.free_slots.pop()
+        job.status = "prefill"
+        self.active.append(job)
+
+        # upload the prompt into the device history once (length bucketed
+        # to bound compile count; pad garbage is always overwritten by the
+        # decode step before it can be read)
+        n = min(_bucket(job.prompt_len, 16), self.max_seq_len)
+        padded = np.zeros((n,), np.int32)
+        padded[:job.prompt_len] = job.prompt_ids
+        self.hist = self._write_hist(
+            self.hist, job.slot, 0, jnp.asarray(padded))
+        return True
+
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write_hist(hist, slot, start, ids):
+        return jax.lax.dynamic_update_slice(
+            hist, ids[None, :], (jnp.asarray(slot, jnp.int32),
+                                 jnp.asarray(start, jnp.int32)))
+
+    # ------------------------------------------------------------------
+    # device steps (compiled per bucket)
+    # ------------------------------------------------------------------
+
+    def _get_prefill_fn(self, t_bucket: int, p_bucket: int):
+        key = ("prefill", t_bucket, p_bucket)
+        if key in self._compiled:
+            return self._compiled[key]
+        st = self.model.static
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fn(w, cache, ids, block_table, cache_seqlen):
+            _, cache = model_forward_paged(
+                w, st, ids, cache, block_table, cache_seqlen,
+                last_token_only=True)
+            return cache
+
+        self._compiled[key] = fn
+        return fn
+
+    def _get_decode_fn(self, b_bucket: int, p_bucket: int):
+        key = ("decode", b_bucket, p_bucket)
+        if key in self._compiled:
+            return self._compiled[key]
+        st = self.model.static
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def fn(w, cache, hist, block_tables, cache_seqlens, slots,
+               params, rkey):
+            ids = hist[slots, cache_seqlens][:, None]          # [B, 1]
+            logits, cache = model_forward_paged(
+                w, st, ids, cache, block_tables, cache_seqlens,
+                last_token_only=True)
+            lg = logits[:, -1, :]
+            lg = apply_penalties(lg, hist[slots], cache_seqlens + 1, params)
+            toks, probs, mu = sample(rkey, lg, params)
+            hist = hist.at[slots, cache_seqlens + 1].set(toks)
+            return cache, hist, toks, probs, mu
+
+        self._compiled[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # iterate
+    # ------------------------------------------------------------------
+
+    def iterate(self) -> list[dict]:
+        results: list[dict] = []
+
+        # admit pending jobs
+        still = []
+        for job in self.pending:
+            if not self._try_start(job):
+                still.append(job)
+        self.pending = still
+
+        # prefill round: one chunk per prefilling job
+        for job in self.active:
+            if job.status == "prefill":
+                self._prefill_chunk(job)
+                if job.kv_pos >= job.prompt_len - 1:
+                    job.status = "generating"
+                else:
+                    results.append({
+                        "job": job, "stage": "prefill", "eos": False,
+                        "curr_progress": job.kv_pos,
+                        "max_progress": job.prompt_len - 1,
+                        "serial": id(job)})
+
+        # batched decode (split into max_batch_size groups; no starvation)
+        gen_jobs = [j for j in self.active if j.status == "generating"]
+        for i in range(0, len(gen_jobs), self.max_batch_size):
+            self._decode(gen_jobs[i:i + self.max_batch_size], results)
+
+        # reap finished jobs
+        for job in [j for j in self.active if j.status == "done"]:
+            self.active.remove(job)
+            self._release_job_pages(job)
+            if job.slot >= 0:
+                self.free_slots.append(job.slot)
+                job.slot = -1
+        return results
+
+    def _job_block_table(self, job: DynamicJob, width: int) -> np.ndarray:
+        bt = np.zeros((width,), np.int32)     # null page padding
+        for i, p in enumerate(job.pages):
+            bt[i] = p.index
+        return bt
+
+    def _prefill_chunk(self, job: DynamicJob):
+        # page-aligned chunk end (dynamic.py:2330-2519)
+        end = min(job.kv_pos + self.max_chunk_size, job.prompt_len - 1)
+        if end < job.prompt_len - 1:
+            end = (end // self.page_size) * self.page_size
+            if end <= job.kv_pos:
+                end = min(job.kv_pos + self.max_chunk_size,
+                          job.prompt_len - 1)
+        t = end - job.kv_pos
+        if t <= 0:
+            return
+        t_bucket = _bucket(t, 16)
+        p_bucket = _bucket(len(job.pages), 2)
+        chunk = np.zeros((1, t_bucket), np.int32)
+        chunk[0, :t] = job.prompt_ids[job.kv_pos:end]
+        bt = self._job_block_table(job, p_bucket)[None]
+        fn = self._get_prefill_fn(t_bucket, p_bucket)
+        self.cache = fn(self.model.weights, self.cache,
+                        jnp.asarray(chunk), jnp.asarray(bt),
+                        jnp.asarray([job.kv_pos], jnp.int32))
+        job.kv_pos = end
+        self._update_page_fill(job)
+
+    def _update_page_fill(self, job: DynamicJob):
+        """Track per-page fill; hash pages as they fill (dynamic.py:1954)."""
+        for i, page in enumerate(job.pages):
+            fill = min(max(job.kv_pos - i * self.page_size, 0),
+                       self.page_size)
+            if fill > page.kv_position and page.ref_count >= 1:
+                page.kv_position = fill
+            if (fill == self.page_size and page.phash is None
+                    and (i + 1) * self.page_size <= len(job.sequence)):
+                prev = job.pages[i - 1].phash if i > 0 else b""
+                if i > 0 and prev is None:
+                    continue
+                chunk = job.sequence[i * self.page_size:
+                                     (i + 1) * self.page_size]
+                h = _HASH((prev or b"") + np.asarray(
+                    chunk, np.int32).tobytes())
+                if h not in self.referenced and h not in self.unreferenced:
+                    page.phash = h
+                    page.prev_hash = prev or None
+                    self.referenced[h] = page
+
+    def _decode(self, jobs: list[DynamicJob], results: list[dict]):
+        b = len(jobs)
+        b_bucket = _bucket(b, 1)
+        p_need = max(len(j.pages) for j in jobs)
+        p_bucket = _bucket(p_need, 2)
+
+        bts = np.zeros((b_bucket, p_bucket), np.int32)
+        seqlens = np.zeros((b_bucket,), np.int32)
+        slots = np.full((b_bucket,), self.num_slots, np.int32)  # dummy slot
+        sett = []
+        mus = []
+        for i, job in enumerate(jobs):
+            bts[i] = self._job_block_table(job, p_bucket)
+            seqlens[i] = job.kv_pos
+            slots[i] = job.slot
+            sett.append(job.settings)
+            mus.append(job.mirostat_mu)
+        for i in range(b, b_bucket):
+            sett.append(Settings.greedy())
+            mus.append(0.0)
+
+        params = stack_settings(sett, mus)
+        self._key, sub = jax.random.split(self._key)
+        fn = self._get_decode_fn(b_bucket, p_bucket)
+        self.cache, self.hist, toks, probs, mu = fn(
+            self.model.weights, self.cache, self.hist,
+            jnp.asarray(bts), jnp.asarray(seqlens), jnp.asarray(slots),
+            params, sub)
+
+        toks_h = np.asarray(toks)
+        mu_h = np.asarray(mu)
+        now = time.perf_counter()
+        for i, job in enumerate(jobs):
+            tok = int(toks_h[i])
+            job.mirostat_mu = float(mu_h[i])
+            job.kv_pos += 1
+            job.sequence = np.append(job.sequence, np.int32(tok))
+            job.new_tokens += 1
+            if job.new_tokens == 1:
+                job.time_first_token = now
+            job.time_last_token = now
+            self._update_page_fill(job)
+            self._emit(job, tok, results)
+
+    # ------------------------------------------------------------------
+    # stop handling / text emission (dynamic.py:2149-2241 analog)
+    # ------------------------------------------------------------------
+
+    def _emit(self, job: DynamicJob, tok: int, results: list[dict]):
+        eos = False
+        if tok in job.stop_tokens or tok in self.tokenizer.eos_set():
+            eos = True
+            job.eos_reason = "stop_token"
+            # flush held text minus the stop token itself
+            full = self.tokenizer.decode(job.sequence[job.prompt_len:-1])
+            new_text = full[len(job.emitted_text):]
+            job.held_text = ""
+        else:
+            full = self.tokenizer.decode(job.sequence[job.prompt_len:])
+            # hold back incomplete UTF-8 fragments (streaming.py held-text
+            # logic): a trailing replacement char means the last token ends
+            # mid-codepoint and will re-decode once completed
+            while full.endswith("�"):
+                full = full[:-1]
+            new_text = full[len(job.emitted_text) + len(job.held_text):]
+            job.held_text += new_text
+            new_text = ""
+
+            # stop-string scan over held text
+            stopped_at = None
+            for s in job.stop_strings:
+                idx = job.held_text.find(s)
+                if idx >= 0 and (stopped_at is None or idx < stopped_at):
+                    stopped_at = idx
+            if stopped_at is not None:
+                new_text = job.held_text[:stopped_at]
+                job.held_text = ""
+                eos = True
+                job.eos_reason = "stop_string"
+            else:
+                # hold back any suffix that prefixes a stop string
+                hold = 0
+                for s in job.stop_strings:
+                    for k in range(1, len(s)):
+                        if job.held_text.endswith(s[:k]):
+                            hold = max(hold, k)
+                release = len(job.held_text) - hold
+                if release > 0:
+                    new_text = job.held_text[:release]
+                    job.held_text = job.held_text[release:]
+
+        if not eos and job.new_tokens >= job.max_new_tokens:
+            eos = True
+            job.eos_reason = "max_new_tokens"
+            # flush everything, including any held-back UTF-8 fragment
+            full = self.tokenizer.decode(job.sequence[job.prompt_len:])
+            new_text = full[len(job.emitted_text):]
+            job.held_text = ""
+
+        job.emitted_text += new_text
+        r = {"job": job, "stage": "streaming", "eos": eos,
+             "text": new_text, "token_ids": np.asarray([tok]),
+             "identifier": job.identifier, "serial": id(job)}
+        if eos:
+            job.status = "done"
+            t_gen = max(job.time_last_token - job.time_first_token, 1e-9)
+            r.update({
+                "eos_reason": job.eos_reason,
+                "full_completion": job.emitted_text,
+                "new_tokens": job.new_tokens,
+                "prompt_tokens": job.prompt_len,
+                "cached_tokens": job.reused_tokens,
+                "time_enqueued": job.time_first_token - job.time_enqueue,
+                "time_generate": t_gen,
+                "tokens_per_second": (job.new_tokens - 1) / t_gen
+                if job.new_tokens > 1 else 0.0,
+            })
+        results.append(r)
+
+    # ------------------------------------------------------------------
+    # convenience API (generate, dynamic.py:541-732)
+    # ------------------------------------------------------------------
+
+    def generate(self, prompt, max_new_tokens: int = 128,
+                 settings: Settings | None = None, seed: int = 0,
+                 stop_conditions=None, add_bos: bool = False,
+                 completion_only: bool = True):
+        prompts = prompt if isinstance(prompt, list) else [prompt]
+        jobs = []
+        for i, p in enumerate(prompts):
+            ids = self.tokenizer.encode(p, add_bos=add_bos) \
+                if isinstance(p, str) else np.asarray(p, np.int32)
+            jobs.append(self.enqueue(DynamicJob(
+                ids, max_new_tokens=max_new_tokens,
+                settings=settings, seed=seed + i,
+                stop_conditions=stop_conditions, identifier=i)))
+        completions = {id(j): "" for j in jobs}
+        pending = {id(j) for j in jobs}
+        guard = 0
+        while pending:
+            for r in self.iterate():
+                if r["stage"] != "streaming":
+                    continue
+                completions[r["serial"]] += r.get("text", "")
+                if r["eos"]:
+                    pending.discard(r["serial"])
+            guard += 1
+            assert guard < 100000, "generator stuck"
+        outs = [completions[id(j)] if completion_only
+                else (prompts[i] + completions[id(j)])
+                for i, j in enumerate(jobs)]
+        return outs if isinstance(prompt, list) else outs[0]

@@ -1,0 +1,154 @@
+"""Tokenizer wrapper.
+
+Analog of exllamav2/tokenizer/ (ExLlamaV2Tokenizer over SentencePiece or HF
+Tokenizers backends, tokenizer/tokenizer.py:25): loads tokenizer.json (HF
+tokenizers) or tokenizer.model (SentencePiece) from the model directory,
+resolves special tokens from tokenizer_config.json / added_tokens.json,
+and exposes the derived structures the generator needs (piece lists for
+token healing / filters).
+
+A deterministic ByteTokenizer backs hermetic tests (the reference has no
+equivalent — its tests require real model dirs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+__all__ = ["Tokenizer", "ByteTokenizer", "load_tokenizer"]
+
+
+class TokenizerBase:
+    vocab_size: int
+    bos_token_id: int | None = None
+    eos_token_id: int | None = None
+    pad_token_id: int | None = None
+    newline_token_id: int | None = None
+
+    def encode(self, text: str, add_bos: bool = False) -> np.ndarray:
+        raise NotImplementedError
+
+    def decode(self, ids) -> str:
+        raise NotImplementedError
+
+    def id_to_piece(self, i: int) -> str:
+        raise NotImplementedError
+
+    def eos_set(self) -> set[int]:
+        e = self.eos_token_id
+        if e is None:
+            return set()
+        return set(e) if isinstance(e, (list, tuple)) else {e}
+
+
+class ByteTokenizer(TokenizerBase):
+    """256-way byte vocab + specials; hermetic test backend."""
+
+    def __init__(self, vocab_size: int = 260):
+        self.vocab_size = vocab_size
+        self.bos_token_id = 256 if vocab_size > 256 else None
+        self.eos_token_id = 257 if vocab_size > 257 else None
+        self.pad_token_id = 258 if vocab_size > 258 else None
+        self.newline_token_id = 10
+
+    def encode(self, text: str, add_bos: bool = False) -> np.ndarray:
+        ids = list(text.encode("utf-8"))
+        if add_bos and self.bos_token_id is not None:
+            ids = [self.bos_token_id] + ids
+        return np.asarray(ids, np.int32)
+
+    def decode(self, ids) -> str:
+        bs = bytes(int(i) for i in np.asarray(ids).reshape(-1)
+                   if 0 <= int(i) < 256)
+        return bs.decode("utf-8", errors="replace")
+
+    def id_to_piece(self, i: int) -> str:
+        return chr(i) if i < 256 else f"<s{i}>"
+
+
+class Tokenizer(TokenizerBase):
+    """HF-tokenizers / SentencePiece backed tokenizer for real models."""
+
+    def __init__(self, model_dir: str):
+        self.model_dir = model_dir
+        cfg = {}
+        cfg_path = os.path.join(model_dir, "tokenizer_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+
+        tk_json = os.path.join(model_dir, "tokenizer.json")
+        sp_model = os.path.join(model_dir, "tokenizer.model")
+        if os.path.exists(tk_json):
+            from tokenizers import Tokenizer as HFTokenizer
+            self._hf = HFTokenizer.from_file(tk_json)
+            self._sp = None
+            self.vocab_size = self._hf.get_vocab_size()
+        elif os.path.exists(sp_model):
+            import sentencepiece
+            self._sp = sentencepiece.SentencePieceProcessor()
+            self._sp.Load(sp_model)
+            self._hf = None
+            self.vocab_size = self._sp.vocab_size()
+        else:
+            raise FileNotFoundError(
+                f"no tokenizer.json / tokenizer.model in {model_dir}")
+
+        def _tok_id(name, default=None):
+            t = cfg.get(name)
+            if isinstance(t, dict):
+                t = t.get("content")
+            if t is None:
+                return default
+            return self._piece_id(t, default)
+
+        self.bos_token_id = _tok_id("bos_token")
+        self.eos_token_id = _tok_id("eos_token")
+        self.pad_token_id = _tok_id("pad_token")
+        gen_path = os.path.join(model_dir, "generation_config.json")
+        if os.path.exists(gen_path):
+            with open(gen_path) as f:
+                g = json.load(f)
+            if self.eos_token_id is None:
+                self.eos_token_id = g.get("eos_token_id")
+            if self.bos_token_id is None:
+                self.bos_token_id = g.get("bos_token_id")
+        nl = self.encode("\n")
+        self.newline_token_id = int(nl[-1]) if len(nl) else None
+
+    def _piece_id(self, piece: str, default=None):
+        if self._hf is not None:
+            i = self._hf.token_to_id(piece)
+            return i if i is not None else default
+        i = self._sp.piece_to_id(piece)
+        return i if i >= 0 else default
+
+    def encode(self, text: str, add_bos: bool = False) -> np.ndarray:
+        if self._hf is not None:
+            ids = self._hf.encode(text, add_special_tokens=False).ids
+        else:
+            ids = self._sp.EncodeAsIds(text)
+        if add_bos and self.bos_token_id is not None:
+            ids = [self.bos_token_id] + list(ids)
+        return np.asarray(ids, np.int32)
+
+    def decode(self, ids) -> str:
+        ids = [int(i) for i in np.asarray(ids).reshape(-1) if int(i) >= 0]
+        if self._hf is not None:
+            return self._hf.decode(ids, skip_special_tokens=False)
+        return self._sp.DecodeIds(ids)
+
+    def id_to_piece(self, i: int) -> str:
+        if self._hf is not None:
+            return self._hf.id_to_token(i) or ""
+        return self._sp.IdToPiece(i)
+
+
+def load_tokenizer(model_dir: str) -> TokenizerBase:
+    try:
+        return Tokenizer(model_dir)
+    except FileNotFoundError:
+        return ByteTokenizer()

@@ -1,0 +1,151 @@
+"""Dynamic generator tests: batching, dedup, stop handling, consistency."""
+
+import numpy as np
+import pytest
+
+from exllamav2_tpu.cache_paged import PagedKVCache
+from exllamav2_tpu.generator.dynamic import DynamicGenerator, DynamicJob
+from exllamav2_tpu.generator.sampler import Settings
+from exllamav2_tpu.models.model import Model
+from exllamav2_tpu.tokenizer import ByteTokenizer
+from exllamav2_tpu.utils.testing import make_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gen_model")
+    # vocab 260 to cover ByteTokenizer specials
+    make_tiny_llama(str(d), quant="exl2", seed=5, vocab=384, max_pos=4096)
+    model = Model.from_dir(str(d))
+    return model
+
+
+def _gen(model, pages=32, max_batch=8, **kw):
+    cache = PagedKVCache.alloc(
+        model.static.num_layers, pages, model.static.num_kv_heads,
+        model.static.head_dim, kw.pop("kind", "bf16"))
+    return DynamicGenerator(model, cache, ByteTokenizer(384),
+                            max_batch_size=max_batch, **kw)
+
+
+def test_single_job_greedy_matches_model(setup):
+    model = setup
+    gen = _gen(model)
+    prompt = "hello world"
+    ids = ByteTokenizer(384).encode(prompt)
+    out = gen.generate(prompt, max_new_tokens=12,
+                       settings=Settings.greedy(), completion_only=True)
+    ref = model.generate_greedy(ids[None], 12, max_seq=256)
+    ref_text = ByteTokenizer(384).decode(ref[0, len(ids):])
+    assert out == ref_text
+
+
+def test_batch_jobs_match_single(setup):
+    model = setup
+    prompts = ["alpha beta", "gamma", "some longer prompt here!"]
+    gen = _gen(model)
+    batch = gen.generate(prompts, max_new_tokens=10,
+                         settings=Settings.greedy())
+    for p, b in zip(prompts, batch):
+        g2 = _gen(model)
+        single = g2.generate(p, max_new_tokens=10,
+                             settings=Settings.greedy())
+        assert b == single, p
+
+
+def test_stop_token(setup):
+    model = setup
+    gen = _gen(model)
+    # find which token greedy decode emits, then use it as stop token
+    out_ref = gen.generate("abc", max_new_tokens=8,
+                           settings=Settings.greedy())
+    tok = ord(out_ref[2]) if len(out_ref) > 2 else None
+    gen2 = _gen(model)
+    job = DynamicJob(ByteTokenizer(384).encode("abc"), max_new_tokens=8,
+                     settings=Settings.greedy(),
+                     stop_conditions=[tok] if tok is not None else [])
+    gen2.enqueue(job)
+    text = ""
+    while job.status != "done":
+        for r in gen2.iterate():
+            text += r.get("text", "")
+    if tok is not None:
+        assert chr(tok) not in text
+
+
+def test_stop_string(setup):
+    model = setup
+    gen = _gen(model)
+    ref = gen.generate("abc", max_new_tokens=10, settings=Settings.greedy())
+    if len(ref) >= 3:
+        stop = ref[1:3]
+        gen2 = _gen(model)
+        out = gen2.generate("abc", max_new_tokens=10,
+                            settings=Settings.greedy(),
+                            stop_conditions=[stop])
+        assert stop not in out
+        assert out == ref[:ref.find(stop)]
+
+
+def test_max_new_tokens(setup):
+    model = setup
+    gen = _gen(model)
+    job = gen.enqueue(DynamicJob(ByteTokenizer(384).encode("xy"),
+                                 max_new_tokens=5,
+                                 settings=Settings.greedy()))
+    while job.status != "done":
+        gen.iterate()
+    assert job.new_tokens == 5
+    assert job.eos_reason == "max_new_tokens"
+
+
+def test_prompt_dedup_reuses_pages(setup):
+    model = setup
+    gen = _gen(model, pages=64)
+    long_prompt = "z" * 600        # > 2 pages of 256
+    gen.generate(long_prompt, max_new_tokens=4, settings=Settings.greedy())
+    # second identical prompt should reuse the two full prompt pages
+    job = gen.enqueue(DynamicJob(ByteTokenizer(384).encode(long_prompt),
+                                 max_new_tokens=4,
+                                 settings=Settings.greedy()))
+    while job.status != "done":
+        gen.iterate()
+    assert job.reused_tokens == 512
+    # and produce identical output
+    g2 = _gen(model, pages=64)
+    fresh = g2.generate(long_prompt, max_new_tokens=4,
+                        settings=Settings.greedy())
+    assert job.emitted_text == fresh
+
+
+def test_page_eviction_under_pressure(setup):
+    model = setup
+    gen = _gen(model, pages=8, max_batch=2)   # tight pool
+    outs = gen.generate([f"prompt {i} " * 30 for i in range(4)],
+                        max_new_tokens=6, settings=Settings.greedy())
+    assert len(outs) == 4 and all(isinstance(o, str) for o in outs)
+
+
+def test_metrics_schema(setup):
+    model = setup
+    gen = _gen(model)
+    job = gen.enqueue(DynamicJob(ByteTokenizer(384).encode("hi"),
+                                 max_new_tokens=3,
+                                 settings=Settings.greedy()))
+    final = None
+    while job.status != "done":
+        for r in gen.iterate():
+            if r.get("eos"):
+                final = r
+    assert final is not None
+    for k in ("full_completion", "new_tokens", "prompt_tokens",
+              "cached_tokens", "time_generate", "tokens_per_second",
+              "eos_reason"):
+        assert k in final, k
+
+
+def test_quantized_cache_generation(setup):
+    model = setup
+    gen = _gen(model, kind="q8")
+    out = gen.generate("hello", max_new_tokens=6, settings=Settings.greedy())
+    assert isinstance(out, str)
