@@ -39,21 +39,22 @@ def unpack_plane(words: jax.Array, bp: int) -> jax.Array:
     """Unpack one plane's words [nsb*Qsb, N] -> int32 values [nsb*256, N].
 
     Qsb = SUB_BLOCK*bp/32; natural row r of sub-block sb lives in word
-    (r mod Qsb) at bit slot (r div Qsb). Emits full-block concats only.
+    (r mod Qsb) at bit slot (r div Qsb). Formulated as one broadcasted
+    shift over a fresh leading axis + leading-dim reshapes (no concats —
+    Mosaic lowers these as pure layout ops, keeping the VPU free for the
+    shift/mask itself).
     """
     qrows, n = words.shape
     qsb = SUB_BLOCK * bp // 32
     per = 32 // bp
     nsb = qrows // qsb
     assert nsb * qsb == qrows, (qrows, bp)
-    w = words.astype(jnp.uint32)
+    w = words.astype(jnp.uint32).reshape(nsb, 1, qsb, n)
+    shifts = jax.lax.broadcasted_iota(
+        jnp.uint32, (1, per, 1, 1), 1) * jnp.uint32(bp)
     mask = jnp.uint32((1 << bp) - 1)
-    pieces = []
-    for sb in range(nsb):
-        wsb = w[sb * qsb:(sb + 1) * qsb]
-        pieces += [((wsb >> jnp.uint32(j * bp)) & mask).astype(jnp.int32)
-                   for j in range(per)]
-    return jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+    vals = ((w >> shifts) & mask).astype(jnp.int32)
+    return vals.reshape(qrows * per, n)
 
 
 def unpack_planes(planes, plane_bits) -> jax.Array:
@@ -80,14 +81,14 @@ def exl2_scales(qscale: jax.Array, smax: jax.Array) -> jax.Array:
 
 
 def broadcast_groups(per_group: jax.Array, group_rows: int) -> jax.Array:
-    """[groups, N] -> [groups*group_rows, N] via full-block broadcasts+concat
-    (Mosaic-friendly; jnp.repeat lowers to an unsupported scatter)."""
+    """[groups, N] -> [groups*group_rows, N] via broadcast over a fresh
+    middle axis + leading-dim reshape (jnp.repeat lowers to an unsupported
+    scatter; per-group concat loops cost VPU relayouts)."""
     groups, n = per_group.shape
     if groups == 1:
         return jnp.broadcast_to(per_group, (group_rows, n))
-    return jnp.concatenate(
-        [jnp.broadcast_to(per_group[g:g + 1], (group_rows, n))
-         for g in range(groups)], axis=0)
+    out = jnp.broadcast_to(per_group[:, None, :], (groups, group_rows, n))
+    return out.reshape(groups * group_rows, n)
 
 
 def dequant_segment(seg, dtype=jnp.bfloat16, rows: int | None = None) -> jax.Array:

@@ -43,11 +43,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_tile(total: int, candidates) -> int:
-    for c in candidates:
-        if total % c == 0:
-            return c
-    return total
+def _divisors(total: int, step: int, cap: int):
+    return [d for d in range(step, min(total, cap) + 1, step)
+            if total % d == 0] or [total]
+
+
+def _pick_tiles(rows_pad: int, n: int, bits: int, group_rows: int,
+                m_pad: int) -> tuple[int, int]:
+    """Choose (k_tile, n_tile) maximizing block size within a VMEM budget.
+
+    Decode is HBM-bound: throughput tracks DMA transfer size, so prefer the
+    largest plane block that leaves room for double buffering (Mosaic
+    pipelines the grid's input windows automatically)."""
+    target = 1 << 20                  # ~1 MiB plane blocks pipeline best
+    best = None
+    for kt in _divisors(rows_pad, SUB_BLOCK, 2048):
+        if kt % group_rows:
+            continue
+        for nt in _divisors(n, 128, 8192):
+            plane_b = kt * bits // 32 * nt * 4
+            steps = (n // nt) * (rows_pad // kt)
+            # enough grid steps that Mosaic's input pipeline overlaps DMA
+            # with compute; blocks near 1 MiB keep each DMA efficient
+            score = (-(steps < 4), -abs(plane_b - target), nt)
+            if best is None or score > best[0]:
+                best = (score, kt, nt)
+    return best[1], best[2]
 
 
 # ---------------------------------------------------------------------------
@@ -84,8 +105,8 @@ def _fused_segment_matmul(x: jax.Array, seg) -> jax.Array:
     rows_pad = seg.rows_pad
     assert k_pad == rows_pad, (k_pad, rows_pad)
     n = seg.planes[0].shape[1]
-    n_tile = _pick_tile(n, (2048, 1024, 512, 256, 128))
-    k_tile = _pick_tile(rows_pad, (1024, 768, 512, 256))
+    k_tile, n_tile = _pick_tiles(rows_pad, n, seg.bits, seg.group_rows,
+                                 m_pad)
     gt = k_tile // seg.group_rows
     assert gt * seg.group_rows == k_tile, (k_tile, seg.group_rows)
     grid = (n // n_tile, rows_pad // k_tile)
@@ -143,6 +164,8 @@ def _fused_segment_matmul(x: jax.Array, seg) -> jax.Array:
             flops=2 * m_pad * rows_pad * n,
             bytes_accessed=qbytes + x.size * 2 + m_pad * n * 4,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, *seg.planes, *meta_args)
 
