@@ -123,7 +123,10 @@ class DynamicGenerator:
 
     def __init__(self, model, cache: PagedKVCache, tokenizer,
                  max_batch_size: int = 32, max_chunk_size: int = 512,
-                 max_seq_len: int | None = None):
+                 max_seq_len: int | None = None,
+                 draft_model=None, draft_cache: PagedKVCache | None = None,
+                 num_draft_tokens: int = 4, use_ngram_draft: bool = False,
+                 max_ngram: int = 4):
         self.model = model
         self.cache = cache
         self.tokenizer = tokenizer
@@ -133,6 +136,20 @@ class DynamicGenerator:
         self.max_seq_len = max_seq_len or (
             cache.num_pages * self.page_size)
 
+        # speculative decoding (dynamic.py:1009-1135 analog)
+        self.draft_model = draft_model
+        self.draft_cache = draft_cache
+        self.num_draft_tokens = num_draft_tokens
+        self.use_ngram_draft = use_ngram_draft
+        self.ngram = None
+        if use_ngram_draft:
+            from exllamav2_tpu.generator.speculative import NgramDrafter
+            self.ngram = NgramDrafter(max_ngram)
+        if draft_model is not None:
+            assert draft_cache is not None and \
+                draft_cache.num_pages == cache.num_pages, \
+                "draft cache must mirror the main cache page pool"
+
         # page pool; page 0 reserved as the null page for padded batch rows
         self.pages = [CachePage(i) for i in range(cache.num_pages)]
         self.free_pages: list[CachePage] = self.pages[1:][::-1]
@@ -140,10 +157,12 @@ class DynamicGenerator:
         self.unreferenced: OrderedDict[bytes, CachePage] = OrderedDict()
         self.access_serial = 0
 
-        # device-side token history; extra row = dummy slot for padding
+        # device-side token history; extra row = dummy slot for padding,
+        # margin columns so speculative writes never clamp-corrupt
         self.num_slots = max_batch_size
-        self.hist = jnp.zeros((self.num_slots + 1, self.max_seq_len),
-                              jnp.int32)
+        self.hist = jnp.zeros(
+            (self.num_slots + 1, self.max_seq_len + num_draft_tokens + 2),
+            jnp.int32)
         self.free_slots = list(range(self.num_slots))[::-1]
 
         self.pending: list[DynamicJob] = []
@@ -301,6 +320,85 @@ class DynamicGenerator:
         self._compiled[key] = fn
         return fn
 
+    def _get_draft_prefill_fn(self, t_bucket: int, p_bucket: int):
+        key = ("dprefill", t_bucket, p_bucket)
+        if key in self._compiled:
+            return self._compiled[key]
+        st = self.draft_model.static
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fn(w, cache, ids, block_table, cache_seqlen):
+            _, cache = model_forward_paged(
+                w, st, ids, cache, block_table, cache_seqlen,
+                last_token_only=True)
+            return cache
+
+        self._compiled[key] = fn
+        return fn
+
+    def _get_draft_fn(self, b_bucket: int, p_bucket: int, k: int):
+        """k greedy decode steps of the draft model in one jitted call."""
+        key = ("draft", b_bucket, p_bucket, k)
+        if key in self._compiled:
+            return self._compiled[key]
+        st = self.draft_model.static
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fn(dw, dcache, hist, bts, seqlens, slots):
+            ids = hist[slots, seqlens][:, None]
+            drafts = []
+            pos = seqlens
+            for _ in range(k):
+                logits, dcache = model_forward_paged(
+                    dw, st, ids, dcache, bts, pos, last_token_only=True)
+                tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                drafts.append(tok)
+                ids = tok[:, None]
+                pos = pos + 1
+            return dcache, jnp.stack(drafts, axis=1)
+
+        self._compiled[key] = fn
+        return fn
+
+    def _get_verify_fn(self, b_bucket: int, p_bucket: int, d: int):
+        """Multi-token verify: forward input+d drafts, sample all positions,
+        accept the matching prefix + bonus token."""
+        key = ("verify", b_bucket, p_bucket, d)
+        if key in self._compiled:
+            return self._compiled[key]
+        st = self.model.static
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def fn(w, cache, hist, bts, seqlens, slots, draft_ids, params, rkey):
+            b = b_bucket
+            t0 = hist[slots, seqlens][:, None]
+            ids = jnp.concatenate([t0, jnp.maximum(draft_ids, 0)], axis=1)
+            logits, cache = model_forward_paged(
+                w, st, ids, cache, bts, seqlens)
+            v = logits.shape[-1]
+            lg = logits.reshape(b * (d + 1), v)
+            # penalties approximated with the pre-draft context for all
+            # positions (the reference samples sequentially on host;
+            # penalties there shift by <=d tokens — same order of error)
+            rep = lambda x: jnp.repeat(x, d + 1, axis=0)
+            params_r = jax.tree_util.tree_map(rep, params)
+            seq_r = jnp.repeat(hist[slots], d + 1, axis=0)
+            len_r = jnp.repeat(seqlens + 1, d + 1, axis=0)
+            lg = apply_penalties(lg, seq_r, len_r, params_r)
+            toks, probs, _ = sample(rkey, lg, params_r)
+            toks = toks.reshape(b, d + 1)
+            # accepted prefix length: draft j accepted iff all i<=j matched
+            match = toks[:, :d] == draft_ids                   # [B, d]
+            accepts = jnp.sum(jnp.cumprod(
+                match.astype(jnp.int32), axis=1), axis=1)      # [B]
+            off = jnp.arange(d + 1, dtype=jnp.int32)[None, :]
+            hist = hist.at[slots[:, None],
+                           seqlens[:, None] + 1 + off].set(toks)
+            return cache, hist, toks, accepts
+
+        self._compiled[key] = fn
+        return fn
+
     def _get_decode_fn(self, b_bucket: int, p_bucket: int):
         key = ("decode", b_bucket, p_bucket)
         if key in self._compiled:
@@ -352,8 +450,13 @@ class DynamicGenerator:
 
         # batched decode (split into max_batch_size groups; no starvation)
         gen_jobs = [j for j in self.active if j.status == "generating"]
+        spec = (self.use_ngram_draft or self.draft_model is not None)
         for i in range(0, len(gen_jobs), self.max_batch_size):
-            self._decode(gen_jobs[i:i + self.max_batch_size], results)
+            grp = gen_jobs[i:i + self.max_batch_size]
+            if spec:
+                self._decode_spec(grp, results)
+            else:
+                self._decode(grp, results)
 
         # reap finished jobs
         for job in [j for j in self.active if j.status == "done"]:
@@ -390,6 +493,12 @@ class DynamicGenerator:
         self.cache = fn(self.model.weights, self.cache,
                         jnp.asarray(chunk), jnp.asarray(bt),
                         jnp.asarray([job.kv_pos], jnp.int32))
+        if self.draft_model is not None:
+            dfn = self._get_draft_prefill_fn(t_bucket, p_bucket)
+            self.draft_cache = dfn(
+                self.draft_model.weights, self.draft_cache,
+                jnp.asarray(chunk), jnp.asarray(bt),
+                jnp.asarray([job.kv_pos], jnp.int32))
         job.kv_pos = end
         self._update_page_fill(job)
 
@@ -457,6 +566,75 @@ class DynamicGenerator:
             job.time_last_token = now
             self._update_page_fill(job)
             self._emit(job, tok, results)
+
+    def _decode_spec(self, jobs: list[DynamicJob], results: list[dict]):
+        """One speculative round: draft d tokens, verify in one forward."""
+        d = self.num_draft_tokens
+        b = len(jobs)
+        b_bucket = _bucket(b, 1)
+        p_need = max(len(j.pages) for j in jobs)
+        p_bucket = _bucket(p_need, 2)
+
+        bts = np.zeros((b_bucket, p_bucket), np.int32)
+        seqlens = np.zeros((b_bucket,), np.int32)
+        slots = np.full((b_bucket,), self.num_slots, np.int32)
+        sett, mus = [], []
+        for i, job in enumerate(jobs):
+            bts[i] = self._job_block_table(job, p_bucket)
+            seqlens[i] = job.kv_pos
+            slots[i] = job.slot
+            sett.append(job.settings)
+            mus.append(job.mirostat_mu)
+        for i in range(b, b_bucket):
+            sett.append(Settings.greedy())
+            mus.append(0.0)
+        bts_j, seq_j, slots_j = (jnp.asarray(bts), jnp.asarray(seqlens),
+                                 jnp.asarray(slots))
+
+        # draft
+        drafts = np.full((b_bucket, d), -1, np.int32)   # -1 never matches
+        if self.use_ngram_draft:
+            for i, job in enumerate(jobs):
+                self.ngram.update(id(job), job.sequence)
+                dr = self.ngram.draft(id(job), job.sequence, d)
+                drafts[i, :len(dr)] = dr
+        else:
+            dfn = self._get_draft_fn(b_bucket, p_bucket, d)
+            self.draft_cache, dr = dfn(
+                self.draft_model.weights, self.draft_cache, self.hist,
+                bts_j, seq_j, slots_j)
+            drafts[:] = np.asarray(dr)
+
+        params = stack_settings(sett, mus)
+        self._key, sub = jax.random.split(self._key)
+        vfn = self._get_verify_fn(b_bucket, p_bucket, d)
+        self.cache, self.hist, toks, accepts = vfn(
+            self.model.weights, self.cache, self.hist, bts_j, seq_j,
+            slots_j, jnp.asarray(drafts), params, sub)
+
+        toks_h = np.asarray(toks)
+        acc_h = np.asarray(accepts)
+        now = time.perf_counter()
+        for i, job in enumerate(jobs):
+            n_new = int(acc_h[i]) + 1
+            n_new = min(n_new, job.max_new_tokens - job.new_tokens)
+            job.draft_accepted = getattr(job, "draft_accepted", 0) + n_new - 1
+            for j in range(n_new):
+                tok = int(toks_h[i, j])
+                job.kv_pos += 1
+                job.sequence = np.append(job.sequence, np.int32(tok))
+                job.new_tokens += 1
+                if job.new_tokens == 1:
+                    job.time_first_token = now
+                job.time_last_token = now
+                self._emit(job, tok, results)
+                if job.status == "done":
+                    break
+            self._update_page_fill(job)
+            if self.use_ngram_draft and job.status != "done":
+                self.ngram.update(id(job), job.sequence)
+            if job.status == "done" and self.ngram is not None:
+                self.ngram.reset(id(job))
 
     # ------------------------------------------------------------------
     # stop handling / text emission (dynamic.py:2149-2241 analog)

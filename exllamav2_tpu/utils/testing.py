@@ -171,7 +171,7 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
                     max_pos: int = 512, seed: int = 0,
                     act_order: bool = False, arch: str = "LlamaForCausalLM",
                     extra_config: dict | None = None,
-                    scale: float = 0.05) -> str:
+                    scale: float = 0.05, head_scale: float = 1.0) -> str:
     """Write a tiny random Llama checkpoint; returns model_dir."""
     os.makedirs(model_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -226,7 +226,10 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
         put_linear(f"{p}.mlp.up_proj", dense(inter, hidden))
         put_linear(f"{p}.mlp.down_proj", dense(hidden, inter))
     tensors["model.norm.weight"] = np.ones(hidden, np.float16)
-    tensors["lm_head.weight"] = dense(vocab, hidden).astype(np.float16)
+    # head_scale > 1 sharpens logit margins so greedy argmax is stable
+    # under bf16 shape-dependent accumulation (speculative-decode tests)
+    tensors["lm_head.weight"] = \
+        (dense(vocab, hidden) * head_scale).astype(np.float16)
 
     write_safetensors(os.path.join(model_dir, "model.safetensors"), tensors)
     return model_dir

@@ -1,0 +1,81 @@
+"""Speculative decoding tests: outputs must match non-speculative greedy."""
+
+import numpy as np
+import pytest
+
+from exllamav2_tpu.cache_paged import PagedKVCache
+from exllamav2_tpu.generator.dynamic import DynamicGenerator
+from exllamav2_tpu.generator.sampler import Settings
+from exllamav2_tpu.models.model import Model
+from exllamav2_tpu.tokenizer import ByteTokenizer
+from exllamav2_tpu.utils.testing import make_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("spec_model")
+    make_tiny_llama(str(d), quant="exl2", seed=5, vocab=384, max_pos=4096,
+                    head_scale=6.0)
+    return Model.from_dir(str(d))
+
+
+def _cache(model, pages=32):
+    return PagedKVCache.alloc(model.static.num_layers, pages,
+                              model.static.num_kv_heads,
+                              model.static.head_dim, "bf16")
+
+
+def test_ngram_spec_matches_plain(model):
+    # bf16 accumulation differs between the T=1 decode and the T=d+1 verify
+    # forward, so exact agreement only holds until the first logit near-tie;
+    # with these seeds the first 12 tokens have clear margins
+    tk = ByteTokenizer(384)
+    prompt = "abcabcabcabcabc"
+    plain = DynamicGenerator(model, _cache(model), tk).generate(
+        prompt, max_new_tokens=12, settings=Settings.greedy())
+    gen = DynamicGenerator(model, _cache(model), tk, use_ngram_draft=True)
+    from exllamav2_tpu.generator.dynamic import DynamicJob
+    job = gen.enqueue(DynamicJob(tk.encode(prompt), max_new_tokens=12,
+                                 settings=Settings.greedy()))
+    while job.status != "done":
+        gen.iterate()
+    assert job.emitted_text == plain
+    assert getattr(job, "draft_accepted", 0) > 0   # ngram actually drafted
+
+
+def test_draft_model_spec_matches_plain(model, tmp_path):
+    tk = ByteTokenizer(384)
+    prompt = "hello world"
+    plain = DynamicGenerator(model, _cache(model), tk).generate(
+        prompt, max_new_tokens=10, settings=Settings.greedy())
+
+    # perfect draft: the model itself (100% acceptance)
+    gen = DynamicGenerator(model, _cache(model), tk,
+                           draft_model=model, draft_cache=_cache(model))
+    out = gen.generate(prompt, max_new_tokens=10, settings=Settings.greedy())
+    assert out == plain
+
+    # imperfect draft: a different tiny model (any acceptance rate)
+    d2 = str(tmp_path / "draft")
+    make_tiny_llama(d2, quant=None, seed=99, vocab=384, max_pos=4096,
+                    layers=1, hidden=128, heads=2, kv_heads=2, inter=256)
+    draft = Model.from_dir(d2)
+    gen2 = DynamicGenerator(model, _cache(model), tk,
+                            draft_model=draft, draft_cache=PagedKVCache.alloc(
+                                draft.static.num_layers, 32,
+                                draft.static.num_kv_heads,
+                                draft.static.head_dim, "bf16"))
+    out2 = gen2.generate(prompt, max_new_tokens=10,
+                         settings=Settings.greedy())
+    assert out2 == plain
+
+
+def test_spec_batch(model):
+    tk = ByteTokenizer(384)
+    prompts = ["xyxyxyxyxy", "aaaa bbbb aaaa"]
+    plain = DynamicGenerator(model, _cache(model), tk).generate(
+        prompts, max_new_tokens=8, settings=Settings.greedy())
+    spec = DynamicGenerator(model, _cache(model), tk,
+                            use_ngram_draft=True).generate(
+        prompts, max_new_tokens=8, settings=Settings.greedy())
+    assert spec == plain
