@@ -72,7 +72,10 @@ class DynamicJob:
                  settings: Settings | None = None,
                  stop_conditions: list | None = None,
                  decode_special_tokens: bool = False,
-                 seed: int = 0, identifier=None):
+                 seed: int = 0, identifier=None,
+                 filters: list | None = None,
+                 token_healing: bool = False,
+                 banned_strings: list[str] | None = None):
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         self.prompt_ids = ids
         self.max_new_tokens = max_new_tokens
@@ -80,6 +83,13 @@ class DynamicJob:
         self.identifier = identifier
         self.seed = seed
         self.decode_special_tokens = decode_special_tokens
+        self.filters = filters or []
+        self.token_healing = token_healing
+        self.healing_token: int | None = None
+        self.banned_strings = [s.lower() for s in (banned_strings or [])]
+        self.blocked_tokens: set[int] = set()   # one-shot (rewind/healing)
+        self.checkpoint = None                  # banned-string rewind state
+        self.draft_accepted = 0
 
         self.stop_tokens: set[int] = set()
         self.stop_strings: list[str] = []
@@ -219,6 +229,15 @@ class DynamicGenerator:
     def enqueue(self, job: DynamicJob) -> DynamicJob:
         assert job.prompt_len + job.max_new_tokens <= self.max_seq_len, \
             "job exceeds max_seq_len"
+        # token healing: re-predict the last prompt token constrained to
+        # pieces extending it (streaming.py token-healing semantics)
+        if job.token_healing and job.prompt_len >= 2:
+            from exllamav2_tpu.generator.filters.base import piece_table
+            job.healing_token = int(job.prompt_ids[-1])
+            job.prompt_ids = job.prompt_ids[:-1]
+            job.sequence = job.prompt_ids.copy()
+        for f in job.filters:
+            f.begin("")
         # prompt page hash chain (prepare_for_queue, dynamic.py:2244-2318)
         job.page_hashes = []
         prev = b""
@@ -399,22 +418,30 @@ class DynamicGenerator:
         self._compiled[key] = fn
         return fn
 
-    def _get_decode_fn(self, b_bucket: int, p_bucket: int):
-        key = ("decode", b_bucket, p_bucket)
+    def _get_decode_fn(self, b_bucket: int, p_bucket: int,
+                       masked: bool = False, use_dry: bool = False):
+        key = ("decode", b_bucket, p_bucket, masked, use_dry)
         if key in self._compiled:
             return self._compiled[key]
         st = self.model.static
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def fn(w, cache, hist, block_tables, cache_seqlens, slots,
-               params, rkey):
+               params, rkey, packed_mask=None):
+            from exllamav2_tpu.ops.sampling import unpack_mask, apply_dry
             ids = hist[slots, cache_seqlens][:, None]          # [B, 1]
             logits, cache = model_forward_paged(
                 w, st, ids, cache, block_tables, cache_seqlens,
                 last_token_only=True)
             lg = logits[:, -1, :]
             lg = apply_penalties(lg, hist[slots], cache_seqlens + 1, params)
-            toks, probs, mu = sample(rkey, lg, params)
+            if use_dry:
+                lg = apply_dry(lg, hist[slots], cache_seqlens + 1,
+                               params.dry_multiplier, params.dry_base,
+                               params.dry_allowed_length, params.dry_range,
+                               params.dry_breakers)
+            lf = unpack_mask(packed_mask, lg.shape[-1]) if masked else None
+            toks, probs, mu = sample(rkey, lg, params, logit_filter=lf)
             hist = hist.at[slots, cache_seqlens + 1].set(toks)
             return cache, hist, toks, probs, mu
 
@@ -453,7 +480,13 @@ class DynamicGenerator:
         spec = (self.use_ngram_draft or self.draft_model is not None)
         for i in range(0, len(gen_jobs), self.max_batch_size):
             grp = gen_jobs[i:i + self.max_batch_size]
-            if spec:
+            # constrained jobs (filters / healing / banned strings) need
+            # per-step logit masks the verify path doesn't model
+            constrained = any(
+                j.filters or j.banned_strings or j.blocked_tokens
+                or (j.healing_token is not None and j.new_tokens == 0)
+                for j in grp)
+            if spec and not constrained:
                 self._decode_spec(grp, results)
             else:
                 self._decode(grp, results)
@@ -544,13 +577,29 @@ class DynamicGenerator:
             sett.append(Settings.greedy())
             mus.append(0.0)
 
+        # per-job logit masks (filters / healing / banned tokens)
+        vocab = self.model.static.vocab_size
+        masks = [self._job_mask(j, vocab) for j in jobs]
+        any_masked = any(m is not None for m in masks)
+        packed = None
+        if any_masked:
+            allow = np.ones((b_bucket, vocab), bool)
+            for i, m in enumerate(masks):
+                if m is not None:
+                    allow[i] = m
+            packed = jnp.asarray(np.packbits(allow, axis=1, bitorder="little"))
+
+        use_dry = any(j.settings.dry_multiplier > 0 for j in jobs)
         params = stack_settings(sett, mus)
         self._key, sub = jax.random.split(self._key)
-        fn = self._get_decode_fn(b_bucket, p_bucket)
-        self.cache, self.hist, toks, probs, mu = fn(
-            self.model.weights, self.cache, self.hist,
-            jnp.asarray(bts), jnp.asarray(seqlens), jnp.asarray(slots),
-            params, sub)
+        fn = self._get_decode_fn(b_bucket, p_bucket, any_masked, use_dry)
+        args = (self.model.weights, self.cache, self.hist,
+                jnp.asarray(bts), jnp.asarray(seqlens), jnp.asarray(slots),
+                params, sub)
+        if any_masked:
+            self.cache, self.hist, toks, probs, mu = fn(*args, packed)
+        else:
+            self.cache, self.hist, toks, probs, mu = fn(*args)
 
         toks_h = np.asarray(toks)
         mu_h = np.asarray(mu)
@@ -640,8 +689,52 @@ class DynamicGenerator:
     # stop handling / text emission (dynamic.py:2149-2241 analog)
     # ------------------------------------------------------------------
 
+    def _job_mask(self, job: DynamicJob, vocab: int) -> np.ndarray | None:
+        """Combined allow-mask for the next sample, or None if free."""
+        from exllamav2_tpu.generator.filters.base import piece_table
+        allow = None
+
+        def base():
+            return np.ones(vocab, bool)
+
+        if job.healing_token is not None and job.new_tokens == 0:
+            pieces = piece_table(self.tokenizer)
+            pre = pieces[job.healing_token] \
+                if job.healing_token < len(pieces) else ""
+            allow = np.zeros(vocab, bool)
+            if pre:
+                for t, p in enumerate(pieces):
+                    if p.startswith(pre):
+                        allow[t] = True
+            else:
+                allow[:] = True
+        for f in job.filters:
+            if f.is_completed():
+                continue
+            ps, _es = f.next()
+            if ps is None:
+                continue
+            m = np.zeros(vocab, bool)
+            if ps:
+                m[np.fromiter((t for t in ps if t < vocab), int,
+                              count=-1)] = True
+            allow = m if allow is None else (allow & m)
+        banned = set(job.settings.banned_tokens or []) | job.blocked_tokens
+        if banned:
+            if allow is None:
+                allow = base()
+            for t in banned:
+                if 0 <= t < vocab:
+                    allow[t] = False
+        if allow is not None and not allow.any():
+            allow[:] = True     # degenerate constraint: fail open
+        return allow
+
     def _emit(self, job: DynamicJob, tok: int, results: list[dict]):
         eos = False
+        job.blocked_tokens.clear()          # one-shot rewind blocks
+        for f in job.filters:
+            f.feed(tok)
         if tok in job.stop_tokens or tok in self.tokenizer.eos_set():
             eos = True
             job.eos_reason = "stop_token"
@@ -656,9 +749,38 @@ class DynamicGenerator:
             # mid-codepoint and will re-decode once completed
             while full.endswith("�"):
                 full = full[:-1]
-            new_text = full[len(job.emitted_text) + len(job.held_text):]
-            job.held_text += new_text
+            added = full[len(job.emitted_text) + len(job.held_text):]
+            held_before = job.held_text
+            job.held_text += added
             new_text = ""
+
+            # banned strings: rewind + block (dynamic.py:2149-2241)
+            low = job.held_text.lower()
+            if any(b in low for b in job.banned_strings):
+                ck = job.checkpoint
+                if ck is None:
+                    # banned string arrived within a single token: rewind
+                    # exactly that token
+                    ck = {"seq_len": len(job.sequence) - 1,
+                          "kv_pos": job.kv_pos - 1,
+                          "new_tokens": job.new_tokens - 1,
+                          "held_text": held_before}
+                first_tok = int(job.sequence[ck["seq_len"]]) \
+                    if len(job.sequence) > ck["seq_len"] else None
+                job.sequence = job.sequence[:ck["seq_len"]]
+                job.kv_pos = ck["kv_pos"]
+                job.new_tokens = ck["new_tokens"]
+                job.held_text = ck["held_text"]
+                job.checkpoint = None
+                if first_tok is not None:
+                    job.blocked_tokens.add(first_tok)
+                if self.ngram is not None:
+                    self.ngram.reset(id(job))
+                results.append({
+                    "job": job, "stage": "streaming", "eos": False,
+                    "text": "", "token_ids": np.asarray([], np.int32),
+                    "identifier": job.identifier, "serial": id(job)})
+                return
 
             # stop-string scan over held text
             stopped_at = None
@@ -672,16 +794,41 @@ class DynamicGenerator:
                 eos = True
                 job.eos_reason = "stop_string"
             else:
-                # hold back any suffix that prefixes a stop string
+                # hold back any suffix that prefixes a stop or banned string
                 hold = 0
                 for s in job.stop_strings:
                     for k in range(1, len(s)):
                         if job.held_text.endswith(s[:k]):
                             hold = max(hold, k)
+                was_held = False
+                for s in job.banned_strings:
+                    for k in range(1, len(s) + 1):
+                        if low.endswith(s[:k]):
+                            hold = max(hold, k)
+                            was_held = True
+                if was_held and job.checkpoint is None:
+                    job.checkpoint = {
+                        "seq_len": len(job.sequence) - 1,
+                        "kv_pos": job.kv_pos - 1,
+                        "new_tokens": job.new_tokens - 1,
+                        "held_text": held_before,
+                    }
+                elif not was_held:
+                    job.checkpoint = None
                 release = len(job.held_text) - hold
                 if release > 0:
                     new_text = job.held_text[:release]
                     job.held_text = job.held_text[release:]
+
+            # constrained region completed (SelectFilter end)
+            if not eos and job.filters and \
+                    all(f.is_completed() for f in job.filters):
+                nxt = [f.next() for f in job.filters]
+                if any(ps is not None and len(ps) == 0 for ps, _ in nxt):
+                    eos = True
+                    job.eos_reason = "end_filter"
+                    new_text += job.held_text
+                    job.held_text = ""
 
         if not eos and job.new_tokens >= job.max_new_tokens:
             eos = True

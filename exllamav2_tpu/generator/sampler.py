@@ -47,6 +47,12 @@ class Settings:
     xtc_probability: float = 0.0
     xtc_threshold: float = 0.1
     cfg_scale: float | None = None
+    dry_allowed_length: int = 2
+    dry_base: float = 1.75
+    dry_multiplier: float = 0.0     # 0 disables
+    dry_sequence_breakers: set[int] | None = None
+    dry_range: int = 0
+    dry_max_ngram: int = 20
 
     @staticmethod
     def greedy(**kwargs) -> "Settings":
@@ -100,4 +106,18 @@ def stack_settings(settings: list[Settings],
         rep_decay=i(lambda s: s.token_repetition_decay),
         freq_penalty=f(lambda s: s.token_frequency_penalty),
         pres_penalty=f(lambda s: s.token_presence_penalty),
+        dry_multiplier=f(lambda s: s.dry_multiplier),
+        dry_base=f(lambda s: s.dry_base),
+        dry_allowed_length=i(lambda s: s.dry_allowed_length),
+        dry_range=i(lambda s: s.dry_range),
+        dry_breakers=_stack_breakers(settings),
     )
+
+
+def _stack_breakers(settings: list[Settings], width: int = 8):
+    rows = []
+    for s in settings:
+        b = sorted(s.dry_sequence_breakers)[:width] \
+            if s.dry_sequence_breakers else []
+        rows.append(b + [-1] * (width - len(b)))
+    return jnp.asarray(np.array(rows, np.int32))

@@ -48,7 +48,9 @@ _EPS = 1e-10
                       "mirostat_tau", "mirostat_eta", "min_temp", "max_temp",
                       "temp_exponent", "xtc_probability", "xtc_threshold",
                       "rep_penalty", "rep_range", "rep_decay",
-                      "freq_penalty", "pres_penalty"],
+                      "freq_penalty", "pres_penalty",
+                      "dry_multiplier", "dry_base", "dry_allowed_length",
+                      "dry_range", "dry_breakers"],
          meta_fields=[])
 @dataclasses.dataclass
 class SamplingParams:
@@ -77,6 +79,11 @@ class SamplingParams:
     rep_decay: jax.Array         # int32
     freq_penalty: jax.Array
     pres_penalty: jax.Array
+    dry_multiplier: jax.Array    # 0 disables DRY
+    dry_base: jax.Array
+    dry_allowed_length: jax.Array   # int32
+    dry_range: jax.Array            # int32; 0 = unlimited
+    dry_breakers: jax.Array         # int32 [B, NB], -1 padded
 
     @classmethod
     def defaults(cls, batch: int, **over) -> "SamplingParams":
@@ -91,7 +98,10 @@ class SamplingParams:
             mirostat_eta=f(0.1), min_temp=f(0.0), max_temp=f(0.0),
             temp_exponent=f(1.0), xtc_probability=f(0.0),
             xtc_threshold=f(0.1), rep_penalty=f(1.0), rep_range=i(-1),
-            rep_decay=i(0), freq_penalty=f(0.0), pres_penalty=f(0.0))
+            rep_decay=i(0), freq_penalty=f(0.0), pres_penalty=f(0.0),
+            dry_multiplier=f(0.0), dry_base=f(1.75),
+            dry_allowed_length=i(2), dry_range=i(0),
+            dry_breakers=jnp.full((batch, 8), -1, jnp.int32))
         for k, v in over.items():
             cur = vals[k]
             vals[k] = jnp.full((batch,), v, cur.dtype)
@@ -149,6 +159,82 @@ def apply_penalties(logits: jax.Array, seq: jax.Array, seq_len: jax.Array,
     out = jnp.where(logits > 0, logits / rep_at, logits * rep_at)
     out = out - jnp.where(seen, pres_at, 0.0) - freq_sum
     return out
+
+
+def unpack_mask(packed: jax.Array, v: int) -> jax.Array:
+    """Packed uint8 bitmask [B, ceil(V/8)] -> bool [B, V] (LSB-first).
+
+    Logit masks cross the host->device tunnel packed (8x less traffic);
+    unpacking is a trivial VPU op. Used for filters / token healing /
+    banned tokens (the reference's logit_filter bool tensor,
+    sampler.py:446-505)."""
+    b = packed.shape[0]
+    bits = (packed[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    return bits.reshape(b, -1)[:, :v] != 0
+
+
+def apply_dry(logits: jax.Array, seq: jax.Array, seq_len: jax.Array,
+              multiplier: jax.Array, base: jax.Array,
+              allowed_length: jax.Array, dry_range: jax.Array,
+              breakers: jax.Array, max_ngram: int = 20) -> jax.Array:
+    """DRY repetition penalty (sampler.py:191-272), device formulation.
+
+    For every past position i, compute the length of the longest suffix
+    match: seq[i-k] == seq[L-1-k] for k = 0..max_ngram-1 (stopping at
+    sequence breakers), then penalize the token that followed position i
+    by multiplier * base^(match_len - allowed_length).
+
+    seq [B, W] (-1 padded), seq_len [B]; breakers [B, NB] token ids (-1
+    padded). multiplier == 0 disables (returns logits unchanged).
+    """
+    bsz, v = logits.shape
+    w = seq.shape[1]
+    pos = jnp.arange(w, dtype=jnp.int32)[None, :]
+    last = seq_len[:, None] - 1                              # index of z-1
+    valid = (pos < seq_len[:, None]) & (seq >= 0)
+
+    is_break = jnp.zeros_like(valid)
+    for jb in range(breakers.shape[1]):
+        bcol = breakers[:, jb:jb + 1]
+        is_break |= (seq == bcol) & (bcol >= 0)
+
+    # match_len[i]: longest k with seq[i-k+1..i] == suffix ending at L-1,
+    # no breaker inside either window
+    mlen = jnp.zeros((bsz, w), jnp.int32)
+    alive = jnp.ones((bsz, w), dtype=bool)
+    seq_pad = jnp.where(valid, seq, -2)
+    for k in range(max_ngram):
+        # compare seq[i-k] with seq[last-k]
+        idx_i = pos - k
+        idx_t = last - k
+        a = jnp.take_along_axis(seq_pad, jnp.maximum(idx_i, 0), axis=1)
+        bb = jnp.take_along_axis(seq_pad, jnp.maximum(idx_t, 0), axis=1)
+        ok = (a == bb) & (idx_i >= 0) & (idx_t >= 0) & (a >= 0)
+        brk_a = jnp.take_along_axis(is_break, jnp.maximum(idx_i, 0), axis=1)
+        brk_b = jnp.take_along_axis(is_break, jnp.maximum(idx_t, 0), axis=1)
+        ok &= ~brk_a & ~brk_b
+        alive &= ok
+        mlen = jnp.where(alive, k + 1, mlen)
+
+    # restrict to the dry_range most recent positions (0 = unlimited)
+    in_range = jnp.where(dry_range[:, None] > 0,
+                         pos >= seq_len[:, None] - dry_range[:, None],
+                         True)
+    # position i's match predicts token seq[i+1]
+    nxt_idx = jnp.minimum(pos + 1, w - 1)
+    nxt = jnp.take_along_axis(seq_pad, nxt_idx, axis=1)
+    use = valid & in_range & (pos + 1 < seq_len[:, None]) & \
+        (mlen >= allowed_length[:, None]) & (nxt >= 0) & (nxt < v)
+
+    tok = jnp.where(use, nxt, v)
+    bidx = jnp.broadcast_to(jnp.arange(bsz)[:, None], tok.shape)
+    best = jnp.zeros((bsz, v + 1), jnp.int32).at[bidx, tok].max(
+        jnp.where(use, mlen, 0))[:, :v]
+    pen = multiplier[:, None] * jnp.power(
+        jnp.maximum(base[:, None], 1e-6),
+        (best - allowed_length[:, None]).astype(jnp.float32))
+    pen = jnp.where(best > 0, pen, 0.0)
+    return jnp.where(multiplier[:, None] > 0, logits - pen, logits)
 
 
 def _norm(sp):
