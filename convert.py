@@ -1,0 +1,37 @@
+"""EXL2 conversion CLI (reference convert.py / convert_exl2.py analog).
+
+Usage:
+    python convert.py -i <fp16_model_dir> -o <out_dir> -b 4.0 [-hb 8]
+                      [-c calibration.txt] [-r rows] [-l row_len]
+"""
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Convert a model to EXL2")
+    ap.add_argument("-i", "--in_dir", required=True)
+    ap.add_argument("-o", "--out_dir", required=True)
+    ap.add_argument("-b", "--bits", type=float, default=4.0,
+                    help="target average bits per weight")
+    ap.add_argument("-hb", "--head_bits", type=int, default=8)
+    ap.add_argument("-c", "--cal_dataset", default=None,
+                    help="path to a plain-text calibration file")
+    ap.add_argument("-r", "--rows", type=int, default=16)
+    ap.add_argument("-l", "--length", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    text = None
+    if args.cal_dataset:
+        with open(args.cal_dataset) as f:
+            text = f.read()
+
+    from exllamav2_tpu.convert.pipeline import convert_model
+    convert_model(args.in_dir, args.out_dir, bits=args.bits,
+                  head_bits=args.head_bits, cal_rows=args.rows,
+                  cal_len=args.length, cal_text=text, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

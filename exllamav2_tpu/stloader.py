@@ -142,11 +142,13 @@ _INV_DTYPE = {np.dtype(np.float64): "F64", np.dtype(np.float32): "F32",
 
 
 def write_safetensors(path: str, tensors: dict[str, np.ndarray],
-                      metadata: dict | None = None):
+                      metadata: dict | None = None,
+                      dtypes: dict[str, str] | None = None):
     """Write a .safetensors file (converter / test-fixture path).
 
     uint32/uint16 arrays are stored bit-identically as I32/I16 (the EXL2
-    convention: q_weight etc. are int32 carriers of packed bits).
+    convention: q_weight etc. are int32 carriers of packed bits);
+    `dtypes` overrides the stored dtype tag per tensor (BF16 passthrough).
     """
     entries = {}
     offset = 0
@@ -155,7 +157,7 @@ def write_safetensors(path: str, tensors: dict[str, np.ndarray],
         arr = np.ascontiguousarray(arr)
         nbytes = arr.nbytes
         entries[name] = {
-            "dtype": _INV_DTYPE[arr.dtype],
+            "dtype": (dtypes or {}).get(name, _INV_DTYPE[arr.dtype]),
             "shape": list(arr.shape),
             "data_offsets": [offset, offset + nbytes],
         }

@@ -1,0 +1,101 @@
+"""Conversion pipeline tests: GPTQ engine + end-to-end convert/load."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from exllamav2_tpu.convert.gptq import AdaptiveGPTQ, AdaptiveQuantizer
+from exllamav2_tpu.convert.qparams import QParams, qparams_attn
+from exllamav2_tpu.convert.pipeline import (
+    convert_model, optimize_allocation, calibration_rows)
+
+
+def test_quantizer_scale_encoding():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 64)) * 0.1, jnp.float32)
+    q = AdaptiveQuantizer(bits=4)
+    scale, qscale, qmax = q.find_params(x)
+    qs = np.asarray(qscale)
+    assert qs.min() >= 1 and qs.max() <= 16
+    # encoding roundtrip: fp16((qs^2) * fp16(qmax/256)) == scale
+    smax16 = np.float16(np.asarray(qmax)) / np.float16(256)
+    expect = ((qs.astype(np.float32) ** 2).astype(np.float16)
+              * smax16).astype(np.float32)
+    assert np.allclose(np.asarray(scale), expect, rtol=1e-3)
+
+
+def test_gptq_better_than_rtn():
+    """GPTQ error propagation must beat plain RTN on correlated inputs."""
+    rng = np.random.default_rng(1)
+    k, n, m = 128, 64, 512
+    # correlated activations -> nontrivial Hessian
+    base = rng.standard_normal((m, 8))
+    x = (base @ rng.standard_normal((8, k))
+         + rng.standard_normal((m, k)) * 0.1).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+
+    groups = QParams(32, (3,), (1.0,)).groups(k)
+
+    g = AdaptiveGPTQ(w.copy())
+    g.add_batch(x)
+    g.prepare()
+    res = g.quantize(groups)
+    dq_gptq = res["dq"][res["invperm"]]
+
+    g2 = AdaptiveGPTQ(w.copy())
+    dq_rtn = g2.quantize_rtn(groups)
+
+    err_gptq = np.linalg.norm(x @ dq_gptq - x @ w)
+    err_rtn = np.linalg.norm(x @ dq_rtn - x @ w)
+    assert err_gptq < err_rtn, (err_gptq, err_rtn)
+
+
+def test_qparams_accounting():
+    qp = QParams(32, (4, 3), (0.5, 0.5))
+    groups = qp.groups(256)
+    assert groups[0][0] == 4 and groups[-1][0] == 3
+    assert groups[-1][2] == 256
+    bpw = qp.bpw(4096, 4096)
+    assert 3.4 < bpw < 4.3
+
+
+def test_optimizer_respects_budget():
+    rng = np.random.default_rng(2)
+    slots = []
+    for _ in range(10):
+        slots.append([(b * 1000, float(np.exp(-b)) + rng.random() * 0.01)
+                      for b in (2, 3, 4, 5, 6, 8)])
+    budget = 10 * 4000
+    choice = optimize_allocation([list(s) for s in slots], budget)
+    srt = [sorted(s) for s in slots]
+    cost = sum(srt[i][c][0] for i, c in enumerate(choice))
+    assert cost <= budget
+    assert cost > 10 * 2000      # used more than the floor
+
+
+def test_end_to_end_convert(tmp_path):
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+    from exllamav2_tpu.models.model import Model
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    make_tiny_llama(src, quant=None, seed=11, vocab=256, hidden=128,
+                    layers=2, heads=4, kv_heads=2, inter=256, max_pos=512)
+    convert_model(src, out, bits=4.0, cal_rows=2, cal_len=64,
+                  progress=lambda *a: None)
+
+    m_src = Model.from_dir(src)
+    m_q = Model.from_dir(out)
+    assert m_q.config.quant_method == "exl2"
+
+    ids = np.array([[3, 17, 200, 9, 55, 123]], np.int32)
+    c1 = m_src.new_cache(batch=1, max_seq=16)
+    c2 = m_q.new_cache(batch=1, max_seq=16)
+    ref, _ = m_src.forward(ids, c1, 0)
+    got, _ = m_q.forward(ids, c2, 0)
+    ref, got = np.asarray(ref), np.asarray(got)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    # random weights have no structure for the quantizer to exploit, so
+    # 4-bit error is naturally high; this is a wiring smoke-check (quality
+    # itself is covered by test_gptq_better_than_rtn)
+    assert rel < 0.5, rel
