@@ -75,7 +75,8 @@ class DynamicJob:
                  seed: int = 0, identifier=None,
                  filters: list | None = None,
                  token_healing: bool = False,
-                 banned_strings: list[str] | None = None):
+                 banned_strings: list[str] | None = None,
+                 negative_prompt_ids=None):
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         self.prompt_ids = ids
         self.max_new_tokens = max_new_tokens
@@ -90,6 +91,17 @@ class DynamicJob:
         self.blocked_tokens: set[int] = set()   # one-shot (rewind/healing)
         self.checkpoint = None                  # banned-string rewind state
         self.draft_accepted = 0
+
+        # CFG: second (negative/unconditional) stream (sampler.py:390-394,
+        # dynamic.py CFG pairs — 2 sequences per job)
+        self.negative_ids = None
+        if negative_prompt_ids is not None and \
+                (settings and settings.cfg_scale is not None):
+            self.negative_ids = np.asarray(
+                negative_prompt_ids, np.int32).reshape(-1)
+        self.pages2: list = []
+        self.slot2 = -1
+        self.kv_pos2 = 0
 
         self.stop_tokens: set[int] = set()
         self.stop_strings: list[str] = []
@@ -120,11 +132,21 @@ class DynamicJob:
         self.rng = np.random.default_rng(seed)
 
     @property
+    def is_cfg(self) -> bool:
+        return self.negative_ids is not None
+
+    @property
     def prompt_len(self) -> int:
         return len(self.prompt_ids)
 
     def pages_needed(self, page_size: int) -> int:
         total = self.prompt_len + self.max_new_tokens
+        return -(-total // page_size)
+
+    def pages2_needed(self, page_size: int) -> int:
+        if not self.is_cfg:
+            return 0
+        total = len(self.negative_ids) + self.max_new_tokens
         return -(-total // page_size)
 
 
@@ -206,6 +228,14 @@ class DynamicGenerator:
         return len(self.free_pages) + len(self.unreferenced)
 
     def _release_job_pages(self, job: DynamicJob):
+        for page in job.pages2:
+            page.ref_count -= 1
+            if page.ref_count == 0:
+                self.free_pages.append(page)
+        job.pages2 = []
+        if job.slot2 >= 0:
+            self.free_slots.append(job.slot2)
+            job.slot2 = -1
         for page in job.pages:
             page.ref_count -= 1
             if page.ref_count == 0:
@@ -253,7 +283,8 @@ class DynamicGenerator:
 
     def _try_start(self, job: DynamicJob) -> bool:
         needed = job.pages_needed(self.page_size)
-        if not self.free_slots:
+        needed2 = job.pages2_needed(self.page_size)
+        if len(self.free_slots) < (2 if job.is_cfg else 1):
             return False
 
         # hash-chain prompt reuse: only pages that end strictly before the
@@ -272,7 +303,7 @@ class DynamicGenerator:
                 break
             reusable.append(page)
 
-        fresh_needed = needed - len(reusable)
+        fresh_needed = needed - len(reusable) + needed2
         if self._free_capacity() < fresh_needed:
             # roll back unreferenced->referenced moves we made above
             for j, page in enumerate(reusable):
@@ -299,6 +330,21 @@ class DynamicGenerator:
         job.reused_tokens = len(reusable) * self.page_size
         job.kv_pos = job.reused_tokens
         job.slot = self.free_slots.pop()
+        if job.is_cfg:
+            for _ in range(needed2):
+                page = self._take_free_page()
+                assert page is not None
+                page.ref_count = 1
+                page.kv_position = 0
+                self._touch(page)
+                job.pages2.append(page)
+            job.slot2 = self.free_slots.pop()
+            job.kv_pos2 = 0
+            n2 = min(_bucket(len(job.negative_ids), 16), self.max_seq_len)
+            padded2 = np.zeros((n2,), np.int32)
+            padded2[:len(job.negative_ids)] = job.negative_ids
+            self.hist = self._write_hist(
+                self.hist, job.slot2, 0, jnp.asarray(padded2))
         job.status = "prefill"
         self.active.append(job)
 
@@ -466,7 +512,12 @@ class DynamicGenerator:
         for job in self.active:
             if job.status == "prefill":
                 self._prefill_chunk(job)
-                if job.kv_pos >= job.prompt_len - 1:
+                if job.is_cfg and job.kv_pos2 < len(job.negative_ids) - 1:
+                    self._prefill_chunk(job, stream2=True)
+                done1 = job.kv_pos >= job.prompt_len - 1
+                done2 = (not job.is_cfg
+                         or job.kv_pos2 >= len(job.negative_ids) - 1)
+                if done1 and done2:
                     job.status = "generating"
                 else:
                     results.append({
@@ -475,8 +526,16 @@ class DynamicGenerator:
                         "max_progress": job.prompt_len - 1,
                         "serial": id(job)})
 
+        # CFG jobs decode as paired rows in their own batches
+        cfg_jobs = [j for j in self.active
+                    if j.status == "generating" and j.is_cfg]
+        for i in range(0, len(cfg_jobs), max(self.max_batch_size // 2, 1)):
+            self._decode_cfg(cfg_jobs[i:i + max(self.max_batch_size // 2, 1)],
+                             results)
+
         # batched decode (split into max_batch_size groups; no starvation)
-        gen_jobs = [j for j in self.active if j.status == "generating"]
+        gen_jobs = [j for j in self.active
+                    if j.status == "generating" and not j.is_cfg]
         spec = (self.use_ngram_draft or self.draft_model is not None)
         for i in range(0, len(gen_jobs), self.max_batch_size):
             grp = gen_jobs[i:i + self.max_batch_size]
@@ -506,34 +565,43 @@ class DynamicGenerator:
             bt[i] = p.index
         return bt
 
-    def _prefill_chunk(self, job: DynamicJob):
+    def _prefill_chunk(self, job: DynamicJob, stream2: bool = False):
         # page-aligned chunk end (dynamic.py:2330-2519)
-        end = min(job.kv_pos + self.max_chunk_size, job.prompt_len - 1)
-        if end < job.prompt_len - 1:
+        if stream2:
+            ids, pages, pos = job.negative_ids, job.pages2, job.kv_pos2
+        else:
+            ids, pages, pos = job.prompt_ids, job.pages, job.kv_pos
+        plen = len(ids)
+        end = min(pos + self.max_chunk_size, plen - 1)
+        if end < plen - 1:
             end = (end // self.page_size) * self.page_size
-            if end <= job.kv_pos:
-                end = min(job.kv_pos + self.max_chunk_size,
-                          job.prompt_len - 1)
-        t = end - job.kv_pos
+            if end <= pos:
+                end = min(pos + self.max_chunk_size, plen - 1)
+        t = end - pos
         if t <= 0:
             return
         t_bucket = _bucket(t, 16)
-        p_bucket = _bucket(len(job.pages), 2)
+        p_bucket = _bucket(len(pages), 2)
         chunk = np.zeros((1, t_bucket), np.int32)
-        chunk[0, :t] = job.prompt_ids[job.kv_pos:end]
-        bt = self._job_block_table(job, p_bucket)[None]
+        chunk[0, :t] = ids[pos:end]
+        bt = np.zeros((1, p_bucket), np.int32)
+        for i, p in enumerate(pages):
+            bt[0, i] = p.index
         fn = self._get_prefill_fn(t_bucket, p_bucket)
         self.cache = fn(self.model.weights, self.cache,
                         jnp.asarray(chunk), jnp.asarray(bt),
-                        jnp.asarray([job.kv_pos], jnp.int32))
-        if self.draft_model is not None:
+                        jnp.asarray([pos], jnp.int32))
+        if self.draft_model is not None and not stream2:
             dfn = self._get_draft_prefill_fn(t_bucket, p_bucket)
             self.draft_cache = dfn(
                 self.draft_model.weights, self.draft_cache,
                 jnp.asarray(chunk), jnp.asarray(bt),
-                jnp.asarray([job.kv_pos], jnp.int32))
-        job.kv_pos = end
-        self._update_page_fill(job)
+                jnp.asarray([pos], jnp.int32))
+        if stream2:
+            job.kv_pos2 = end
+        else:
+            job.kv_pos = end
+            self._update_page_fill(job)
 
     def _update_page_fill(self, job: DynamicJob):
         """Track per-page fill; hash pages as they fill (dynamic.py:1954)."""
@@ -608,6 +676,85 @@ class DynamicGenerator:
             tok = int(toks_h[i])
             job.mirostat_mu = float(mu_h[i])
             job.kv_pos += 1
+            job.sequence = np.append(job.sequence, np.int32(tok))
+            job.new_tokens += 1
+            if job.new_tokens == 1:
+                job.time_first_token = now
+            job.time_last_token = now
+            self._update_page_fill(job)
+            self._emit(job, tok, results)
+
+    def _get_decode_cfg_fn(self, rows_bucket: int, p_bucket: int):
+        """Paired-row decode with CFG logit mixing (sampler.py:390-394)."""
+        key = ("decode_cfg", rows_bucket, p_bucket)
+        if key in self._compiled:
+            return self._compiled[key]
+        st = self.model.static
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def fn(w, cache, hist, bts, seqlens, slots, params, cfg_scale,
+               rkey):
+            ids = hist[slots, seqlens][:, None]
+            logits, cache = model_forward_paged(
+                w, st, ids, cache, bts, seqlens, last_token_only=True)
+            lsm = jax.nn.log_softmax(logits[:, -1, :], axis=-1)
+            cond, uncond = lsm[0::2], lsm[1::2]
+            mixed = cfg_scale[:, None] * cond \
+                + (1.0 - cfg_scale[:, None]) * uncond
+            mixed = apply_penalties(
+                mixed, hist[slots[0::2]], seqlens[0::2] + 1, params)
+            toks, probs, mu = sample(rkey, mixed, params)
+            both = jnp.repeat(toks, 2)
+            hist = hist.at[slots, seqlens + 1].set(both)
+            return cache, hist, toks, probs, mu
+
+        self._compiled[key] = fn
+        return fn
+
+    def _decode_cfg(self, jobs: list[DynamicJob], results: list[dict]):
+        n = len(jobs)
+        n_bucket = _bucket(n, 1)
+        rows = n_bucket * 2
+        p_need = max(max(len(j.pages), len(j.pages2)) for j in jobs)
+        p_bucket = _bucket(p_need, 2)
+
+        bts = np.zeros((rows, p_bucket), np.int32)
+        seqlens = np.zeros((rows,), np.int32)
+        slots = np.full((rows,), self.num_slots, np.int32)
+        sett, mus, scales = [], [], []
+        for i, job in enumerate(jobs):
+            for k, p in enumerate(job.pages):
+                bts[2 * i, k] = p.index
+            for k, p in enumerate(job.pages2):
+                bts[2 * i + 1, k] = p.index
+            seqlens[2 * i] = job.kv_pos
+            seqlens[2 * i + 1] = job.kv_pos2
+            slots[2 * i] = job.slot
+            slots[2 * i + 1] = job.slot2
+            sett.append(job.settings)
+            mus.append(job.mirostat_mu)
+            scales.append(float(job.settings.cfg_scale))
+        for i in range(n, n_bucket):
+            sett.append(Settings.greedy())
+            mus.append(0.0)
+            scales.append(1.0)
+
+        params = stack_settings(sett, mus)
+        self._key, sub = jax.random.split(self._key)
+        fn = self._get_decode_cfg_fn(rows, p_bucket)
+        self.cache, self.hist, toks, probs, mu = fn(
+            self.model.weights, self.cache, self.hist,
+            jnp.asarray(bts), jnp.asarray(seqlens), jnp.asarray(slots),
+            params, jnp.asarray(np.asarray(scales, np.float32)), sub)
+
+        toks_h = np.asarray(toks)
+        mu_h = np.asarray(mu)
+        now = time.perf_counter()
+        for i, job in enumerate(jobs):
+            tok = int(toks_h[i])
+            job.mirostat_mu = float(mu_h[i])
+            job.kv_pos += 1
+            job.kv_pos2 += 1
             job.sequence = np.append(job.sequence, np.int32(tok))
             job.new_tokens += 1
             if job.new_tokens == 1:

@@ -217,6 +217,15 @@ def qmm(x: jax.Array, lin: QuantLinear, *, fused: bool | None = None) -> jax.Arr
 
 def linear_apply(x: jax.Array, lin, *, fused: bool | None = None) -> jax.Array:
     """Apply a (quantized or dense) linear, returning the logical width."""
+    # LoRA wrapper (lora.py LoraLinear): base + scaled rank-r bypass
+    if hasattr(lin, "base") and hasattr(lin, "a"):
+        y = linear_apply(x, lin.base, fused=fused)
+        xa = jnp.dot(x.astype(jnp.bfloat16), lin.a,
+                     preferred_element_type=jnp.float32)
+        y = y + lin.scaling * jnp.dot(
+            xa.astype(jnp.bfloat16), lin.b,
+            preferred_element_type=jnp.float32)
+        return y
     if isinstance(lin, DenseLinear):
         y = jnp.dot(x.astype(jnp.bfloat16), lin.weight,
                     preferred_element_type=jnp.float32)

@@ -1,0 +1,116 @@
+"""LoRA loading/application + CFG generation tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from exllamav2_tpu.cache_paged import PagedKVCache
+from exllamav2_tpu.generator.dynamic import DynamicGenerator, DynamicJob
+from exllamav2_tpu.generator.sampler import Settings
+from exllamav2_tpu.lora import Lora, apply_lora, remove_lora
+from exllamav2_tpu.models.model import Model
+from exllamav2_tpu.stloader import write_safetensors
+from exllamav2_tpu.tokenizer import ByteTokenizer
+from exllamav2_tpu.utils.testing import make_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lora_model")
+    make_tiny_llama(str(d), quant="exl2", seed=5, vocab=384, max_pos=4096)
+    return Model.from_dir(str(d))
+
+
+def _mk_adapter(path, hidden=256, r=4, alpha=8, layers=2, seed=0):
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    with open(os.path.join(path, "adapter_config.json"), "w") as f:
+        json.dump({"r": r, "lora_alpha": alpha,
+                   "target_modules": ["q_proj", "v_proj"]}, f)
+    tensors = {}
+    outs = {"q_proj": hidden, "v_proj": hidden // 2}   # GQA: 2 kv heads
+    for l in range(layers):
+        for tgt, out in outs.items():
+            p = f"base_model.model.model.layers.{l}.self_attn.{tgt}"
+            tensors[f"{p}.lora_A.weight"] = \
+                (rng.standard_normal((r, hidden)) * 0.1).astype(np.float32)
+            tensors[f"{p}.lora_B.weight"] = \
+                (rng.standard_normal((out, r)) * 0.1).astype(np.float32)
+    write_safetensors(os.path.join(path, "adapter_model.safetensors"),
+                      tensors)
+    return path
+
+
+def test_lora_changes_output(model, tmp_path):
+    adapter = _mk_adapter(str(tmp_path / "adapter"))
+    lora = Lora(adapter)
+    assert len(lora.targets) == 4
+    ids = np.array([[3, 17, 200, 9]], np.int32)
+
+    cache = model.new_cache(batch=1, max_seq=16)
+    base_logits, _ = model.forward(ids, cache, 0)
+
+    w2 = apply_lora(model.weights, lora)
+    m2 = Model(w2, model.static, model.config)
+    cache2 = m2.new_cache(batch=1, max_seq=16)
+    lora_logits, _ = m2.forward(ids, cache2, 0)
+    assert not np.allclose(np.asarray(base_logits),
+                           np.asarray(lora_logits), atol=1e-3)
+
+    # unwrap restores baseline exactly
+    w3 = remove_lora(w2)
+    m3 = Model(w3, model.static, model.config)
+    cache3 = m3.new_cache(batch=1, max_seq=16)
+    back, _ = m3.forward(ids, cache3, 0)
+    assert np.allclose(np.asarray(base_logits), np.asarray(back))
+
+
+def test_lora_math_exact(model, tmp_path):
+    """LoRA bypass matches the manual A/B computation on one linear."""
+    import jax.numpy as jnp
+    from exllamav2_tpu.ops.qmm import linear_apply
+    from exllamav2_tpu.lora import LoraLinear
+    rng = np.random.default_rng(1)
+    base = model.weights.layers[0].attn.q
+    x = jnp.asarray(rng.standard_normal((3, 256)) * 0.1, jnp.bfloat16)
+    a = jnp.asarray(rng.standard_normal((256, 4)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((4, 256)) * 0.1, jnp.bfloat16)
+    wrapped = LoraLinear(base=base, a=a, b=b, scaling=2.0)
+    y = np.asarray(linear_apply(x, wrapped))
+    y_ref = np.asarray(linear_apply(x, base)) + \
+        2.0 * np.asarray((x @ a) @ b, np.float32)
+    assert np.abs(y - y_ref).max() < 0.05
+
+
+def test_cfg_generation(model):
+    tk = ByteTokenizer(384)
+    cache = PagedKVCache.alloc(model.static.num_layers, 32,
+                               model.static.num_kv_heads,
+                               model.static.head_dim, "bf16")
+    gen = DynamicGenerator(model, cache, tk, max_batch_size=8)
+    s = Settings.greedy()
+    s.cfg_scale = 1.5
+    job = gen.enqueue(DynamicJob(
+        tk.encode("hello world"), max_new_tokens=8, settings=s,
+        negative_prompt_ids=tk.encode("goodbye")))
+    while job.status != "done":
+        gen.iterate()
+    assert job.new_tokens == 8
+    assert job.kv_pos2 == len(tk.encode("goodbye")) + 8 - 1
+
+    # cfg_scale = 1.0 reduces to the conditional stream only
+    s2 = Settings.greedy()
+    s2.cfg_scale = 1.0
+    gen2 = DynamicGenerator(model, PagedKVCache.alloc(
+        model.static.num_layers, 32, model.static.num_kv_heads,
+        model.static.head_dim, "bf16"), tk)
+    job2 = gen2.enqueue(DynamicJob(
+        tk.encode("hello world"), max_new_tokens=8, settings=s2,
+        negative_prompt_ids=tk.encode("goodbye")))
+    while job2.status != "done":
+        gen2.iterate()
+    plain = gen2.generate("hello world", max_new_tokens=8,
+                          settings=Settings.greedy())
+    assert job2.emitted_text == plain
