@@ -142,6 +142,12 @@ def optimize_allocation(slots: list[list[tuple[int, float]]],
     if cost > budget_bits:
         return choice                      # budget below minimum: floor
 
+    # native C++ annealer when available (ext_quant.cpp sim_anneal analog)
+    from exllamav2_tpu.native import sim_anneal as native_sim_anneal
+    native = native_sim_anneal(slots, budget_bits, iters, seed)
+    if native is not None:
+        return native
+
     temp = max(e for sl in slots for _, e in sl) + 1e-9
     for it in range(iters):
         temp *= 0.9997

@@ -929,12 +929,14 @@ class DynamicGenerator:
                     "identifier": job.identifier, "serial": id(job)})
                 return
 
-            # stop-string scan over held text
+            # stop-string scan over held text (cpp/generator.cpp
+            # partial_strings_match analog, native when compiled)
+            from exllamav2_tpu.native import find_first_match
             stopped_at = None
-            for s in job.stop_strings:
-                idx = job.held_text.find(s)
-                if idx >= 0 and (stopped_at is None or idx < stopped_at):
-                    stopped_at = idx
+            if job.stop_strings:
+                pos, _ = find_first_match(job.held_text, job.stop_strings)
+                if pos >= 0:
+                    stopped_at = pos
             if stopped_at is not None:
                 new_text = job.held_text[:stopped_at]
                 job.held_text = ""
@@ -942,17 +944,13 @@ class DynamicGenerator:
                 job.eos_reason = "stop_string"
             else:
                 # hold back any suffix that prefixes a stop or banned string
-                hold = 0
-                for s in job.stop_strings:
-                    for k in range(1, len(s)):
-                        if job.held_text.endswith(s[:k]):
-                            hold = max(hold, k)
-                was_held = False
-                for s in job.banned_strings:
-                    for k in range(1, len(s) + 1):
-                        if low.endswith(s[:k]):
-                            hold = max(hold, k)
-                            was_held = True
+                from exllamav2_tpu.native import max_partial_overlap
+                hold = max_partial_overlap(job.held_text, job.stop_strings) \
+                    if job.stop_strings else 0
+                hold_banned = max_partial_overlap(low, job.banned_strings) \
+                    if job.banned_strings else 0
+                was_held = hold_banned > 0
+                hold = max(hold, hold_banned)
                 if was_held and job.checkpoint is None:
                     job.checkpoint = {
                         "seq_len": len(job.sequence) - 1,
