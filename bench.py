@@ -40,21 +40,29 @@ def main():
     cache = KVCache.alloc(st.num_layers, 1, max_seq, st.num_kv_heads,
                           st.head_dim)
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def decode(w, tok, cache, past_len):
-        logits, cache = model_forward(w, st, tok, cache, past_len)
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
+    def decode(w, tok, cache, past_len, attn_limit):
+        logits, cache = model_forward(w, st, tok, cache, past_len,
+                                      attn_limit=attn_limit)
         tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
         return tok[:, None], cache
 
+    def limit(n):
+        return min(-(-n // 256) * 256, max_seq)
+
     tok = jnp.ones((1, 1), jnp.int32)
-    # warmup: compile + a couple of steps
+    # warmup: compile + a couple of steps (pre-compile both buckets)
     for i in range(3):
-        tok, cache = decode(w, tok, cache, jnp.int32(prefill + i))
+        p = prefill + i
+        tok, cache = decode(w, tok, cache, jnp.int32(p), limit(p + 1))
+    tok2, _c = decode(w, tok, jax.tree_util.tree_map(jnp.copy, cache),
+                      jnp.int32(prefill + 300), limit(prefill + 301))
     np.asarray(tok)
 
     t0 = time.perf_counter()
     for i in range(steps):
-        tok, cache = decode(w, tok, cache, jnp.int32(prefill + 3 + i))
+        p = prefill + 3 + i
+        tok, cache = decode(w, tok, cache, jnp.int32(p), limit(p + 1))
     np.asarray(tok)                      # readback = true sync
     dt = time.perf_counter() - t0
 

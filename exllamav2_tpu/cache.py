@@ -24,31 +24,37 @@ __all__ = ["KVCache"]
          data_fields=["k", "v"], meta_fields=[])
 @dataclasses.dataclass
 class KVCache:
-    """Linear per-layer K/V tensors, [L, B, max_seq, Hkv, D]."""
+    """Linear per-layer K/V tensors, [L, B, Hkv, max_seq, D].
+
+    Heads ahead of sequence so the decode-attention kernel's per-head
+    blocks are contiguous in HBM (ops/decode_attn.py)."""
     k: jax.Array
     v: jax.Array
 
     @classmethod
     def alloc(cls, num_layers: int, batch: int, max_seq: int,
               kv_heads: int, head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
-        shape = (num_layers, batch, max_seq, kv_heads, head_dim)
+        shape = (num_layers, batch, kv_heads, max_seq, head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     def update(self, layer: int, new_k: jax.Array, new_v: jax.Array,
                past_len) -> "KVCache":
         """Write new_k/new_v [B, T, Hkv, D] at position past_len of layer."""
         zero = jnp.int32(0)
-        idx = (jnp.int32(layer), zero, jnp.asarray(past_len, jnp.int32),
-               zero, zero)
+        idx = (jnp.int32(layer), zero, zero,
+               jnp.asarray(past_len, jnp.int32), zero)
+        nk = jnp.transpose(new_k, (0, 2, 1, 3))[None]     # [1,B,H,T,D]
+        nv = jnp.transpose(new_v, (0, 2, 1, 3))[None]
         return KVCache(
             k=jax.lax.dynamic_update_slice(
-                self.k, new_k[None].astype(self.k.dtype), idx),
+                self.k, nk.astype(self.k.dtype), idx),
             v=jax.lax.dynamic_update_slice(
-                self.v, new_v[None].astype(self.v.dtype), idx))
+                self.v, nv.astype(self.v.dtype), idx))
 
     def layer(self, layer: int) -> tuple[jax.Array, jax.Array]:
+        """-> K/V [B, Hkv, S, D] for one layer."""
         return self.k[layer], self.v[layer]

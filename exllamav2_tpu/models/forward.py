@@ -91,24 +91,45 @@ def _attn_qkv(x: jax.Array, aw: AttnWeights, st: StaticModel,
 
 def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
                  layer: int, sin: jax.Array, cos: jax.Array,
-                 cache: KVCache, past_len) -> tuple[jax.Array, KVCache]:
+                 cache: KVCache, past_len,
+                 attn_limit: int | None = None) -> tuple[jax.Array, KVCache]:
     """x [B, T, d] -> (attn output [B, T, d], updated cache).
 
     sin/cos are already gathered for positions [past_len, past_len+T).
+    attn_limit (static) bounds how much of the allocated cache is read —
+    the caller buckets past_len+T up so HBM traffic tracks the actual
+    sequence length, not max_seq (the analog of the reference's
+    cache_seqlens-bounded flash path, attn.py:602-613).
     """
     b, t, d = x.shape
     hq, hkv, hd = st.num_heads, st.num_kv_heads, st.head_dim
     q, k, v = _attn_qkv(x, aw, st, sin, cos)
 
     cache = cache.update(layer, k, v, past_len)
-    ck, cv = cache.layer(layer)               # [B, S, Hkv, D]
-    s = ck.shape[1]
-
+    ck, cv = cache.layer(layer)               # [B, Hkv, S, D]
     scale = st.attn_scale if st.attn_scale is not None else hd ** -0.5
+    window = st.layers[layer].sliding_window if st.layers else 0
+
+    # fused flash-decode kernel for the single-token hot path
+    if (t == 1 and st.attn_logit_softcap == 0.0 and window == 0
+            and attn_limit is not None and st.fused_matmul
+            and hd % 128 == 0):
+        from exllamav2_tpu.ops.decode_attn import decode_attention
+        out = decode_attention(q[:, 0], cache.k, cache.v, layer, past_len,
+                               attn_limit, float(scale))
+        out = out.astype(jnp.bfloat16).reshape(b, hq * hd)
+        out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, 1, -1)
+        return out, cache
+
+    if attn_limit is not None and attn_limit < ck.shape[2]:
+        ck = jax.lax.slice_in_dim(ck, 0, attn_limit, axis=2)
+        cv = jax.lax.slice_in_dim(cv, 0, attn_limit, axis=2)
+    s = ck.shape[2]
+
     g = st.q_per_kv
     qg = q.reshape(b, t, hkv, g, hd)
     # scores [B, Hkv, G, T, S] in f32
-    scores = jnp.einsum("btkgd,bskd->bkgts", qg, ck,
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg, ck,
                         preferred_element_type=jnp.float32) * scale
     if st.attn_logit_softcap > 0.0:
         cap = st.attn_logit_softcap
@@ -117,13 +138,12 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
     pos_q = jnp.asarray(past_len, jnp.int32) + jnp.arange(t, dtype=jnp.int32)
     pos_k = jnp.arange(s, dtype=jnp.int32)
     mask = pos_k[None, :] <= pos_q[:, None]                  # causal
-    window = st.layers[layer].sliding_window if st.layers else 0
     if window > 0:
         mask &= pos_k[None, :] > pos_q[:, None] - window
     scores = jnp.where(mask[None, None, None], scores, _NEG)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
-    out = jnp.einsum("bkgts,bskd->btkgd", probs, cv,
+    out = jnp.einsum("bkgts,bksd->btkgd", probs, cv,
                      preferred_element_type=jnp.float32)
     out = out.astype(jnp.bfloat16).reshape(b * t, hq * hd)
     out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, t, -1)
@@ -253,17 +273,19 @@ def moe_forward(x: jax.Array, mw: MoEWeights, st: StaticModel) -> jax.Array:
     return out.reshape(b, t, -1)
 
 
-def _block_forward(x, layer_w, st, layer, sin, cos, cache, past_len):
+def _block_forward(x, layer_w, st, layer, sin, cos, cache, past_len,
+                   attn_limit=None):
     if st.parallel_blocks:
         # Cohere-style: attn and mlp on the same normed input
         # (parallel_decoder.py:115-176)
         attn_out, cache = attn_forward(
-            x, layer_w.attn, st, layer, sin, cos, cache, past_len)
+            x, layer_w.attn, st, layer, sin, cos, cache, past_len,
+            attn_limit)
         mlp_in = x  # mlp shares the attn input norm via its own norm weights
         mlp_out = mlp_forward(mlp_in, layer_w.mlp, st)
         return x + attn_out + mlp_out, cache
     attn_out, cache = attn_forward(
-        x, layer_w.attn, st, layer, sin, cos, cache, past_len)
+        x, layer_w.attn, st, layer, sin, cos, cache, past_len, attn_limit)
     x = x + attn_out
     if isinstance(layer_w.mlp, MoEWeights):
         x = x + moe_forward(x, layer_w.mlp, st)
@@ -274,7 +296,9 @@ def _block_forward(x, layer_w, st, layer, sin, cos, cache, past_len):
 
 def model_forward(w: ModelWeights, st: StaticModel, ids: jax.Array,
                   cache: KVCache, past_len,
-                  last_token_only: bool = False) -> tuple[jax.Array, KVCache]:
+                  last_token_only: bool = False,
+                  attn_limit: int | None = None
+                  ) -> tuple[jax.Array, KVCache]:
     """ids [B, T] int32 -> (logits [B, T or 1, vocab] f32, cache).
 
     The chunked-forward analog of model.py:938-1054; chunking across
@@ -294,7 +318,8 @@ def model_forward(w: ModelWeights, st: StaticModel, ids: jax.Array,
 
     for layer in range(st.num_layers):
         x, cache = _block_forward(
-            x, w.layers[layer], st, layer, sin, cos, cache, past_len)
+            x, w.layers[layer], st, layer, sin, cos, cache, past_len,
+            attn_limit)
 
     if last_token_only:
         x = x[:, -1:, :]

@@ -23,14 +23,22 @@ from exllamav2_tpu.models.modules import ModelWeights, StaticModel
 __all__ = ["Model"]
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))
-def _prefill_step(w, st, ids, cache, past_len):
-    return model_forward(w, st, ids, cache, past_len, last_token_only=True)
+@functools.partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))
+def _prefill_step(w, st, ids, cache, past_len, attn_limit):
+    return model_forward(w, st, ids, cache, past_len, last_token_only=True,
+                         attn_limit=attn_limit)
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))
-def _decode_step(w, st, ids, cache, past_len):
-    return model_forward(w, st, ids, cache, past_len, last_token_only=False)
+@functools.partial(jax.jit, static_argnums=(1, 5), donate_argnums=(3,))
+def _decode_step(w, st, ids, cache, past_len, attn_limit):
+    return model_forward(w, st, ids, cache, past_len, last_token_only=False,
+                         attn_limit=attn_limit)
+
+
+def _limit_bucket(n: int, cap: int, step: int = 256) -> int:
+    """Bucket the attention span up to a multiple of `step` (bounds HBM
+    reads to the live sequence without a recompile per token)."""
+    return min(-(-n // step) * step, cap)
 
 
 class Model:
@@ -61,9 +69,10 @@ class Model:
                 last_token_only: bool = False):
         """ids [B, T] -> (logits f32, cache). Jit-cached per (T, B)."""
         ids = jnp.asarray(ids, jnp.int32)
+        limit = _limit_bucket(int(past_len) + ids.shape[1], cache.max_seq)
         step = _prefill_step if last_token_only else _decode_step
         return step(self.weights, self.static, ids, cache,
-                    jnp.int32(past_len))
+                    jnp.int32(past_len), limit)
 
     def generate_greedy(self, prompt_ids: np.ndarray, max_new_tokens: int,
                         max_seq: int | None = None,

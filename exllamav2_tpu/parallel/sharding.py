@@ -139,8 +139,10 @@ def shard_model(w: ModelWeights, st: StaticModel, mesh: Mesh) -> ModelWeights:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    """KV cache split: batch on dp, kv-heads on tp (BROADCAST_KV analog)."""
-    spec = P(None, "dp", None, "tp", None)
+    """KV cache split: batch on dp, kv-heads on tp (BROADCAST_KV analog).
+
+    Cache layout is [L, B, Hkv, S, D]."""
+    spec = P(None, "dp", "tp", None, None)
     return KVCache(k=_put(cache.k, mesh, spec), v=_put(cache.v, mesh, spec))
 
 
