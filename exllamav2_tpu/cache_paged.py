@@ -7,6 +7,10 @@ to the reference's ExLlamaV2Cache / _8bit / _Q4 / _Q6 / _Q8
 (cache.py:230-656). Quantization (ops/kvquant.py) happens on append for
 exactly the touched rows, like fp16_to_q_kv on store (cache.py:517-556).
 
+Layout is head-major — data [L, Hkv, rows, D'] — so one (layer, head)
+page is a contiguous [page_size, D'] block that the Pallas paged-attention
+kernel can DMA directly (ops/paged_attn.py).
+
 All updates are functional (donated into the jitted step). Page size is
 fixed at 256 like the reference (dynamic.py:33).
 """
@@ -39,7 +43,7 @@ def _kinds(kind: str) -> tuple[str, str]:
          meta_fields=["kind", "page_size", "head_dim"])
 @dataclasses.dataclass
 class PagedKVCache:
-    """Flat page pool: data [L, P * page_size, Hkv, D'] (+ scales)."""
+    """Flat page pool: data [L, Hkv, P * page_size, D'] (+ scales)."""
     k_data: jax.Array
     k_scales: jax.Array | None
     v_data: jax.Array
@@ -56,13 +60,13 @@ class PagedKVCache:
         rows = num_pages * page_size
 
         def mk(k):
-            data = jnp.zeros((num_layers, rows, kv_heads,
+            data = jnp.zeros((num_layers, kv_heads, rows,
                               *KQ.data_shape(k, head_dim)[0:1]),
                              KQ.data_dtype(k))
             scales = None
             if k in ("q4", "q8"):
                 scales = jnp.zeros(
-                    (num_layers, rows, kv_heads, head_dim // 32),
+                    (num_layers, kv_heads, rows, head_dim // 32),
                     jnp.bfloat16)
             return data, scales
 
@@ -73,11 +77,15 @@ class PagedKVCache:
 
     @property
     def num_pages(self) -> int:
-        return self.k_data.shape[1] // self.page_size
+        return self.k_data.shape[2] // self.page_size
 
     @property
     def num_layers(self) -> int:
         return self.k_data.shape[0]
+
+    @property
+    def kv_heads(self) -> int:
+        return self.k_data.shape[1]
 
     def append(self, layer: int, block_table: jax.Array,
                cache_seqlens: jax.Array, new_k: jax.Array,
@@ -93,9 +101,11 @@ class PagedKVCache:
 
         def upd(data, scales, x, kind):
             qd, qs = KQ.kv_quant(x.reshape(b * t, h, d), kind)
-            data = data.at[layer, rows].set(qd.astype(data.dtype))
+            # mixed slice+array indexing puts the advanced (row) axis first:
+            # target shape is [BT, H, D']
+            data = data.at[layer, :, rows].set(qd.astype(data.dtype))
             if scales is not None:
-                scales = scales.at[layer, rows].set(qs)
+                scales = scales.at[layer, :, rows].set(qs)
             return data, scales
 
         kd, ks = upd(self.k_data, self.k_scales, new_k, kk)
@@ -105,21 +115,23 @@ class PagedKVCache:
 
     def gather_layer(self, layer: int, block_table: jax.Array,
                      dtype=jnp.bfloat16):
-        """Dequantized K/V [B, max_pages*page_size, H, D] for attention.
+        """Dequantized K/V [B, H, max_pages*page_size, D] for attention.
 
-        The jnp reference path (Pallas paged attention streams pages
-        instead of materializing this)."""
+        The jnp reference path (the Pallas paged-attention kernel streams
+        pages instead of materializing this)."""
         kk, vk = _kinds(self.kind)
         ps = self.page_size
 
         def gather(data, scales, kind):
-            # rows for all pages of all sequences
             rows = (block_table[..., None] * ps
                     + jnp.arange(ps, dtype=jnp.int32)).reshape(
                         block_table.shape[0], -1)             # [B, S]
-            d = jnp.take(data[layer], rows, axis=0)           # [B, S, H, D']
-            s = None if scales is None else jnp.take(
-                scales[layer], rows, axis=0)
+            d = jnp.take(data[layer], rows, axis=1)           # [H, B, S, D']
+            d = jnp.transpose(d, (1, 0, 2, 3))                # [B, H, S, D']
+            s = None
+            if scales is not None:
+                s = jnp.transpose(
+                    jnp.take(scales[layer], rows, axis=1), (1, 0, 2, 3))
             return KQ.kv_dequant(d, s, kind, dtype)
 
         k = gather(self.k_data, self.k_scales, kk)
@@ -137,7 +149,7 @@ class PagedKVCache:
         def cp(a):
             if a is None:
                 return None
-            return a.at[:, t].set(a[:, s])
+            return a.at[:, :, t].set(a[:, :, s])
 
         return dataclasses.replace(
             self, k_data=cp(self.k_data), k_scales=cp(self.k_scales),

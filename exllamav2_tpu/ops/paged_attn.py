@@ -9,12 +9,113 @@ dequant) replaces `_attention` behind the same signature.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["paged_attention"]
+__all__ = ["paged_attention", "paged_decode_attention"]
 
 _NEG = -1e30
+
+
+@functools.partial(jax.jit, static_argnums=(3, 6, 7, 8))
+def paged_decode_attention(q: jax.Array, k_data: jax.Array,
+                           v_data: jax.Array, layer: int,
+                           block_table: jax.Array, valid_lens: jax.Array,
+                           scale: float, page_size: int, hq: int
+                           ) -> jax.Array:
+    """Fused paged flash-decode (t = 1), bf16 cache kind.
+
+    q [B, Hq, D]; k/v_data FULL pool [L, Hkv, rows, D]; block_table [B, P]
+    (page indices, padding rows -> null page); valid_lens [B] = number of
+    valid kv rows (cache already contains the current token). Streams one
+    [Hkv, page, D] block per grid step via the scalar-prefetched block
+    table (the TPU analog of flash_attn_with_kvcache + block tables,
+    attn.py:602-613) with online-softmax accumulation across pages.
+    """
+    b, _, d = q.shape
+    nl, hkv, rows, _ = k_data.shape
+    g = hq // hkv
+    p_width = block_table.shape[1]
+    qg = q.reshape(b, hkv, g, d)
+    gpad = max(g, 8)
+
+    def kernel(bt_ref, vl_ref, q_ref, k_ref, v_ref, o_ref,
+               m_ref, l_ref, acc_ref):
+        bi = pl.program_id(0)
+        pi = pl.program_id(1)
+
+        @pl.when(pi == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, -1e30)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        vlb = vl_ref[bi]
+        start = pi * page_size
+
+        @pl.when(start < vlb)
+        def _():
+            pos = jax.lax.broadcasted_iota(
+                jnp.int32, (1, page_size), 1) + start
+            for h in range(hkv):
+                qh = q_ref[0, h].astype(jnp.float32)          # [G, D]
+                kk = k_ref[0, h].astype(jnp.float32)          # [page, D]
+                vv = v_ref[0, h].astype(jnp.float32)
+                s = jax.lax.dot_general(
+                    qh, kk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = jnp.where(pos < vlb, s, -1e30)
+                m_prev = m_ref[h, :g, :1]
+                l_prev = l_ref[h, :g, :1]
+                m_curr = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next)
+                l_ref[h, :g, :1] = alpha * l_prev \
+                    + jnp.sum(p, axis=1, keepdims=True)
+                m_ref[h, :g, :1] = m_next
+                o_curr = jax.lax.dot_general(
+                    p, vv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_ref[h, :g] = acc_ref[h, :g] * alpha + o_curr
+
+        @pl.when(pi == pl.num_programs(1) - 1)
+        def _():
+            for h in range(hkv):
+                l = l_ref[h, :g, :1]
+                o_ref[0, h] = acc_ref[h, :g] / \
+                    jnp.where(l == 0.0, 1.0, l)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, p_width),
+        in_specs=[
+            pl.BlockSpec((1, hkv, g, d),
+                         lambda bi, pi, bt, vl: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, page_size, d),
+                         lambda bi, pi, bt, vl: (layer, 0, bt[bi, pi], 0)),
+            pl.BlockSpec((1, hkv, page_size, d),
+                         lambda bi, pi, bt, vl: (layer, 0, bt[bi, pi], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hkv, g, d),
+                               lambda bi, pi, bt, vl: (bi, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
+            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
+            pltpu.VMEM((hkv, gpad, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(block_table, valid_lens, qg, k_data, v_data)
+    return out.reshape(b, 1, hq, d)
 
 
 def paged_attention(q: jax.Array, cache, layer: int,
@@ -29,13 +130,21 @@ def paged_attention(q: jax.Array, cache, layer: int,
     order as the reference's direct-cache-write path attn.py:520-578).
     """
     b, t, hq, d = q.shape
-    k, v = cache.gather_layer(layer, block_table)      # [B, S, Hkv, D]
-    s = k.shape[1]
-    hkv = k.shape[2]
+    # fused page-streaming kernel for the decode hot path
+    if (t == 1 and window == 0 and softcap == 0.0
+            and cache.kind == "bf16" and d % 128 == 0
+            and jax.default_backend() == "tpu"):
+        return paged_decode_attention(
+            q[:, 0].astype(jnp.bfloat16), cache.k_data, cache.v_data,
+            layer, block_table, cache_seqlens + 1,
+            float(scale), cache.page_size, hq)
+    k, v = cache.gather_layer(layer, block_table)      # [B, Hkv, S, D]
+    s = k.shape[2]
+    hkv = k.shape[1]
     g = hq // hkv
 
     qg = q.astype(jnp.bfloat16).reshape(b, t, hkv, g, d)
-    scores = jnp.einsum("btkgd,bskd->bkgts", qg, k,
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k,
                         preferred_element_type=jnp.float32) * scale
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
@@ -48,6 +157,6 @@ def paged_attention(q: jax.Array, cache, layer: int,
     scores = jnp.where(mask[:, None, None], scores, _NEG)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
-    out = jnp.einsum("bkgts,bskd->btkgd", probs, v,
+    out = jnp.einsum("bkgts,bksd->btkgd", probs, v,
                      preferred_element_type=jnp.float32)
     return out.reshape(b, t, hq, d)

@@ -50,8 +50,8 @@ def test_paged_append_gather(kind):
     bt = jnp.asarray([[0, 1], [2, 3]], jnp.int32)     # 2 seqs, 2 pages each
     seqlens = jnp.asarray([0, 5], jnp.int32)
     cache = cache.append(0, bt, seqlens, k, v)
-    gk, gv = cache.gather_layer(0, bt)
-    gk = np.asarray(gk, np.float32)
+    gk, gv = cache.gather_layer(0, bt)                 # [B, H, S, D]
+    gk = np.asarray(gk, np.float32).transpose(0, 2, 1, 3)   # [B, S, H, D]
     tol = {"bf16": 0.02, "q8": 0.02, "q6": 0.02, "q4": 0.2, "fp8": 0.1}[kind]
     ref = np.asarray(k, np.float32)
     assert np.abs(gk[0, 0:3] - ref[0]).max() < tol
@@ -68,9 +68,9 @@ def test_copy_pages():
     cache = cache.append(0, bt, jnp.asarray([0]), k, k)
     cache = cache.copy_pages(jnp.asarray([0]), jnp.asarray([5]))
     bt2 = jnp.asarray([[5, 1]], jnp.int32)
-    gk, _ = cache.gather_layer(0, bt2)
-    assert np.abs(np.asarray(gk[0, :4], np.float32)
-                  - np.asarray(k[0], np.float32)).max() < 0.02
+    gk, _ = cache.gather_layer(0, bt2)                 # [B, H, S, D]
+    got = np.asarray(gk, np.float32).transpose(0, 2, 1, 3)[0, :4]
+    assert np.abs(got - np.asarray(k[0], np.float32)).max() < 0.02
 
 
 def test_paged_forward_matches_linear():
