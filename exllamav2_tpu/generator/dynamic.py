@@ -54,7 +54,7 @@ class CachePage:
     """One physical page (dynamic.py:59-169 analog)."""
 
     __slots__ = ("index", "phash", "prev_hash", "ref_count",
-                 "access_serial", "kv_position")
+                 "access_serial", "kv_position", "tokens")
 
     def __init__(self, index: int):
         self.index = index
@@ -63,6 +63,7 @@ class CachePage:
         self.ref_count = 0
         self.access_serial = 0
         self.kv_position = 0
+        self.tokens: np.ndarray | None = None   # contents when hashed
 
 
 class DynamicJob:
@@ -221,8 +222,77 @@ class DynamicGenerator:
             del self.unreferenced[h]
             p.phash = None
             p.prev_hash = None
+            p.tokens = None
             return p
         return None
+
+    def defrag(self):
+        """Reorder idle pages so hash chains are physically consecutive
+        (defrag_cache, dynamic.py:1350-1478 / cache_rotate analog).
+
+        Runs only with no active or pending jobs; page contents move via
+        device copies, CachePage.index is rewritten in place so any later
+        reuse sees the new location.
+        """
+        if self.active or self.pending or not self.unreferenced:
+            return
+        if not self.free_pages:
+            return                      # need one scratch page for cycles
+        if self.draft_cache is not None:
+            return                      # keep draft pages in lockstep
+        # order chains: walk roots (prev_hash None) then children
+        by_prev: dict[bytes | None, list[CachePage]] = {}
+        for p in self.unreferenced.values():
+            by_prev.setdefault(p.prev_hash, []).append(p)
+        order: list[CachePage] = []
+        stack = sorted(by_prev.get(None, []),
+                       key=lambda p: p.access_serial)
+        seen = set()
+        while stack:
+            p = stack.pop(0)
+            if id(p) in seen:
+                continue
+            seen.add(id(p))
+            order.append(p)
+            stack = sorted(by_prev.get(p.phash, []),
+                           key=lambda q: q.access_serial) + stack
+        for p in self.unreferenced.values():
+            if id(p) not in seen:
+                order.append(p)
+
+        targets = sorted(p.index for p in order)
+        moves = {p.index: t for p, t in zip(order, targets)
+                 if p.index != t}
+        if not moves:
+            return
+        temp = self.free_pages[-1].index
+        by_index = {p.index: p for p in order}
+        done = set()
+        for start in list(moves):
+            if start in done or start not in moves:
+                continue
+            # rotate the cycle through the scratch page
+            cycle = [start]
+            nxt = moves[start]
+            while nxt != start:
+                cycle.append(nxt)
+                nxt = moves.get(nxt)
+                if nxt is None:
+                    break
+            if nxt is None:
+                # cannot happen: moves is a permutation restricted to its
+                # non-fixed points, so every cycle closes
+                continue
+            self.cache = self.cache.copy_pages(
+                jnp.asarray([cycle[-1]]), jnp.asarray([temp]))
+            for src in reversed(cycle[:-1]):
+                self.cache = self.cache.copy_pages(
+                    jnp.asarray([src]), jnp.asarray([moves[src]]))
+            self.cache = self.cache.copy_pages(
+                jnp.asarray([temp]), jnp.asarray([moves[cycle[-1]]]))
+            for src in cycle:
+                by_index[src].index = moves[src]
+                done.add(src)
 
     def _free_capacity(self) -> int:
         return len(self.free_pages) + len(self.unreferenced)
@@ -329,6 +399,38 @@ class DynamicGenerator:
         job.pages = pages
         job.reused_tokens = len(reusable) * self.page_size
         job.kv_pos = job.reused_tokens
+
+        # partial-page reuse: longest token-prefix match against a cached
+        # full page continuing the same chain, copied into the job's own
+        # page (count_match + copy_states, dynamic.py:2374-2411)
+        j = len(reusable)
+        seg = job.prompt_ids[j * self.page_size:(j + 1) * self.page_size]
+        if len(seg) > 1 and j < len(pages):
+            prev = reusable[-1].phash if reusable else b""
+            best, best_m = None, 0
+            for page in self.pages:
+                if page.phash is None or page.tokens is None:
+                    continue
+                if (page.prev_hash or b"") != (prev or b""):
+                    continue
+                n = min(len(seg) - 1, len(page.tokens))
+                m = int(np.argmin(np.concatenate([
+                    (seg[:n] == page.tokens[:n]).astype(np.int8),
+                    np.zeros(1, np.int8)])))
+                if m > best_m:
+                    best, best_m = page, m
+            if best is not None and best_m > 0:
+                self.cache = self.cache.copy_pages(
+                    jnp.asarray([best.index]),
+                    jnp.asarray([pages[j].index]))
+                if self.draft_cache is not None:
+                    self.draft_cache = self.draft_cache.copy_pages(
+                        jnp.asarray([best.index]),
+                        jnp.asarray([pages[j].index]))
+                self._touch(best)
+                job.kv_pos += best_m
+                job.reused_tokens += best_m
+
         job.slot = self.free_slots.pop()
         if job.is_cfg:
             for _ in range(needed2):
@@ -622,6 +724,7 @@ class DynamicGenerator:
                 if h not in self.referenced and h not in self.unreferenced:
                     page.phash = h
                     page.prev_hash = prev or None
+                    page.tokens = np.asarray(chunk, np.int32).copy()
                     self.referenced[h] = page
 
     def _decode(self, jobs: list[DynamicJob], results: list[dict]):

@@ -222,9 +222,20 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
         put_linear(f"{p}.self_attn.k_proj", dense(kv_heads * head_dim, hidden))
         put_linear(f"{p}.self_attn.v_proj", dense(kv_heads * head_dim, hidden))
         put_linear(f"{p}.self_attn.o_proj", dense(hidden, heads * head_dim))
-        put_linear(f"{p}.mlp.gate_proj", dense(inter, hidden))
-        put_linear(f"{p}.mlp.up_proj", dense(inter, hidden))
-        put_linear(f"{p}.mlp.down_proj", dense(hidden, inter))
+        if arch == "MixtralForCausalLM":
+            n_exp = (extra_config or {}).get("num_local_experts", 4)
+            # router stays fp16 (reference keeps it unquantized)
+            tensors[f"{p}.block_sparse_moe.gate.weight"] = \
+                dense(n_exp, hidden).astype(np.float16)
+            for e in range(n_exp):
+                q = f"{p}.block_sparse_moe.experts.{e}"
+                put_linear(f"{q}.w1", dense(inter, hidden))
+                put_linear(f"{q}.w2", dense(hidden, inter))
+                put_linear(f"{q}.w3", dense(inter, hidden))
+        else:
+            put_linear(f"{p}.mlp.gate_proj", dense(inter, hidden))
+            put_linear(f"{p}.mlp.up_proj", dense(inter, hidden))
+            put_linear(f"{p}.mlp.down_proj", dense(hidden, inter))
     tensors["model.norm.weight"] = np.ones(hidden, np.float16)
     # head_scale > 1 sharpens logit margins so greedy argmax is stable
     # under bf16 shape-dependent accumulation (speculative-decode tests)

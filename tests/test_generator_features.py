@@ -1,0 +1,107 @@
+"""Partial-page reuse, defrag, legacy generator APIs, MoE model."""
+
+import numpy as np
+import pytest
+
+from exllamav2_tpu.cache_paged import PagedKVCache
+from exllamav2_tpu.generator.base import BaseGenerator
+from exllamav2_tpu.generator.dynamic import DynamicGenerator, DynamicJob
+from exllamav2_tpu.generator.sampler import Settings
+from exllamav2_tpu.generator.streaming import StreamingGenerator
+from exllamav2_tpu.models.model import Model
+from exllamav2_tpu.tokenizer import ByteTokenizer
+from exllamav2_tpu.utils.testing import make_tiny_llama
+
+TK = ByteTokenizer(384)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("feat_model")
+    make_tiny_llama(str(d), quant="exl2", seed=5, vocab=384, max_pos=4096)
+    return Model.from_dir(str(d))
+
+
+def _gen(model, pages=64, **kw):
+    cache = PagedKVCache.alloc(model.static.num_layers, pages,
+                               model.static.num_kv_heads,
+                               model.static.head_dim, "bf16")
+    return DynamicGenerator(model, cache, TK, max_batch_size=8, **kw)
+
+
+def test_partial_page_reuse(model):
+    gen = _gen(model)
+    base = "w" * 300
+    # first prompt fills pages 0 and 1 completely (600 > 512 tokens)
+    gen.generate(base + "abcd" + "e" * 300, max_new_tokens=3,
+                 settings=Settings.greedy())
+    # second prompt: page 0 matches by hash; page 1 diverges mid-page but
+    # shares the "abcd..." prefix -> token-level partial reuse
+    job = gen.enqueue(DynamicJob(TK.encode(base + "abcdXYZW"),
+                                 max_new_tokens=3,
+                                 settings=Settings.greedy()))
+    while job.status != "done":
+        gen.iterate()
+    # 256 from the full page + some from the token-level match
+    assert job.reused_tokens > 256, job.reused_tokens
+    # output equals a fresh-generator run
+    fresh = _gen(model).generate(base + "abcdXYZW", max_new_tokens=3,
+                                 settings=Settings.greedy())
+    assert job.emitted_text == fresh
+
+
+def test_defrag_preserves_reuse(model):
+    gen = _gen(model, pages=32)
+    p1 = "q" * 520
+    out1 = gen.generate(p1, max_new_tokens=3, settings=Settings.greedy())
+    gen.defrag()
+    # reuse must still hit (page indices moved, hashes intact)
+    job = gen.enqueue(DynamicJob(TK.encode(p1), max_new_tokens=3,
+                                 settings=Settings.greedy()))
+    while job.status != "done":
+        gen.iterate()
+    assert job.reused_tokens >= 512
+    assert job.emitted_text == out1
+
+
+def test_base_generator_api(model):
+    gen = BaseGenerator(_gen(model), None, None)
+    out = gen.generate_simple("hi there", Settings.greedy(), 6,
+                              completion_only=True)
+    assert isinstance(out, str) and len(out) > 0
+    outs = gen.generate_simple(["a", "b"], Settings.greedy(), 4)
+    assert len(outs) == 2 and outs[0].startswith("a")
+
+
+def test_streaming_generator_api(model):
+    cache = PagedKVCache.alloc(model.static.num_layers, 16,
+                               model.static.num_kv_heads,
+                               model.static.head_dim, "bf16")
+    gen = StreamingGenerator(model, cache, TK)
+    gen.set_stop_conditions([])
+    gen.begin_stream_ex(TK.encode("stream"), Settings.greedy(),
+                        max_new_tokens=5)
+    text = ""
+    while True:
+        chunk, eos, _ = gen.stream()
+        text += chunk
+        if eos:
+            break
+    ref = _gen(model).generate("stream", max_new_tokens=5,
+                               settings=Settings.greedy())
+    assert text == ref
+
+
+def test_moe_model(tmp_path):
+    d = str(tmp_path / "moe")
+    make_tiny_llama(d, quant="exl2", seed=13, vocab=256, hidden=128,
+                    layers=2, heads=2, kv_heads=2, inter=256, max_pos=512,
+                    arch="MixtralForCausalLM",
+                    extra_config={"num_local_experts": 4,
+                                  "num_experts_per_tok": 2})
+    model = Model.from_dir(d)
+    assert model.static.num_experts == 4
+    out = model.generate_greedy(np.array([[5, 9, 100]], np.int32), 6,
+                                max_seq=32)
+    assert out.shape == (1, 9)
+    assert np.isfinite(out).all()
