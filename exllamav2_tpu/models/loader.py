@@ -143,12 +143,22 @@ def load_model(cfg: ModelConfig) -> tuple[ModelWeights, StaticModel]:
     for l in range(cfg.num_hidden_layers):
         k = lambda pat: pat.format(l=l)
         if arch.fused_qkv:
-            raise NotImplementedError("fused qkv loading lands with phi3")
+            # Phi3-style packed qkv_proj, sliced into q/k/v
+            # (module.py:154-199 fused-tensor slicing)
+            from exllamav2_tpu.quant.qtensor import slice_columns
+            fused = load_linear(tfm, k(arch.key_fused_qkv))
+            nq = cfg.num_attention_heads * cfg.head_dim
+            nkv = cfg.num_key_value_heads * cfg.head_dim
+            q_lin = slice_columns(fused, 0, nq)
+            k_lin = slice_columns(fused, nq, nq + nkv)
+            v_lin = slice_columns(fused, nq + nkv, nq + 2 * nkv)
+        else:
+            q_lin = load_linear(tfm, k(arch.key_attn_q))
+            k_lin = load_linear(tfm, k(arch.key_attn_k))
+            v_lin = load_linear(tfm, k(arch.key_attn_v))
         attn = AttnWeights(
             norm=load_norm(tfm, k(arch.key_norm_1)),
-            q=load_linear(tfm, k(arch.key_attn_q)),
-            k=load_linear(tfm, k(arch.key_attn_k)),
-            v=load_linear(tfm, k(arch.key_attn_v)),
+            q=q_lin, k=k_lin, v=v_lin,
             o=load_linear(tfm, k(arch.key_attn_o)),
             q_norm=load_norm(tfm, k(arch.key_attn_q_norm))
             if arch.key_attn_q_norm and cfg.use_qk_norm else None,
@@ -165,6 +175,16 @@ def load_model(cfg: ModelConfig) -> tuple[ModelWeights, StaticModel]:
                          for e in range(cfg.num_experts)),
                 w3=tuple(load_linear(tfm, arch.key_moe_w3.format(l=l, e=e))
                          for e in range(cfg.num_experts)),
+            )
+        elif arch.fused_gate_up:
+            from exllamav2_tpu.quant.qtensor import slice_columns
+            fused = load_linear(tfm, k(arch.key_fused_gate_up))
+            inter = cfg.intermediate_size
+            mlp = MLPWeights(
+                norm=load_norm(tfm, k(arch.key_norm_2)),
+                gate=slice_columns(fused, 0, inter),
+                up=slice_columns(fused, inter, 2 * inter),
+                down=load_linear(tfm, k(arch.key_mlp_down)),
             )
         else:
             mlp = MLPWeights(

@@ -240,6 +240,34 @@ def from_gptq(t: F.GptqTensor, lane_pad: int = 128) -> QuantLinear:
                        k=t.k, n=n_pad, n_orig=t.n)
 
 
+def slice_columns(lin, beg: int, end: int):
+    """Slice out-features [beg, end) of a linear (fused-QKV / gate_up
+    splitting, module.py:154-199 f_beg/f_end analog).
+
+    For quantized layers every per-segment array has N as its last axis,
+    so a column slice is a clean slice of planes + scales; rows/perm are
+    unchanged. beg/end should be lane-aligned (multiples of 128) for the
+    fused kernel's tiling to stay efficient.
+    """
+    if isinstance(lin, DenseLinear):
+        return DenseLinear(
+            weight=lin.weight[:, beg:end],
+            bias=None if lin.bias is None else lin.bias[beg:end])
+    assert isinstance(lin, QuantLinear)
+    segs = []
+    for seg in lin.segments:
+        repl = {"planes": tuple(p[:, beg:end] for p in seg.planes)}
+        if isinstance(seg, GptqSegment):
+            repl["scale"] = seg.scale[:, beg:end]
+            repl["zero"] = seg.zero[:, beg:end]
+        else:
+            repl["qscale"] = seg.qscale[:, beg:end]
+        segs.append(dataclasses.replace(seg, **repl))
+    bias = None if lin.bias is None else lin.bias[beg:end]
+    return QuantLinear(segments=tuple(segs), perm=lin.perm, bias=bias,
+                       k=lin.k, n=end - beg, n_orig=end - beg)
+
+
 def from_dense(weight: np.ndarray, bias: np.ndarray | None = None) -> DenseLinear:
     """FP16/BF16 fallback layer ([K, N] input layout)."""
     return DenseLinear(

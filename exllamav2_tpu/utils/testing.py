@@ -211,6 +211,7 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
         for suffix, arr in sub.items():
             tensors[f"{key}.{suffix}"] = arr
 
+    norm_bias = arch in ("Starcoder2ForCausalLM", "CohereForCausalLM")
     tensors["model.embed_tokens.weight"] = dense(vocab, hidden).astype(np.float16)
     for l in range(layers):
         p = f"model.layers.{l}"
@@ -218,10 +219,28 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
             np.ones(hidden, np.float16) + rng.standard_normal(hidden).astype(np.float16) * 0.01
         tensors[f"{p}.post_attention_layernorm.weight"] = \
             np.ones(hidden, np.float16) + rng.standard_normal(hidden).astype(np.float16) * 0.01
-        put_linear(f"{p}.self_attn.q_proj", dense(heads * head_dim, hidden))
-        put_linear(f"{p}.self_attn.k_proj", dense(kv_heads * head_dim, hidden))
-        put_linear(f"{p}.self_attn.v_proj", dense(kv_heads * head_dim, hidden))
+        if norm_bias:
+            tensors[f"{p}.input_layernorm.bias"] = \
+                np.zeros(hidden, np.float16)
+            tensors[f"{p}.post_attention_layernorm.bias"] = \
+                np.zeros(hidden, np.float16)
+        if arch == "Phi3ForCausalLM":
+            put_linear(f"{p}.self_attn.qkv_proj",
+                       dense((heads + 2 * kv_heads) * head_dim, hidden))
+        else:
+            put_linear(f"{p}.self_attn.q_proj",
+                       dense(heads * head_dim, hidden))
+            put_linear(f"{p}.self_attn.k_proj",
+                       dense(kv_heads * head_dim, hidden))
+            put_linear(f"{p}.self_attn.v_proj",
+                       dense(kv_heads * head_dim, hidden))
         put_linear(f"{p}.self_attn.o_proj", dense(hidden, heads * head_dim))
+        if (extra_config or {}).get("attention_bias"):
+            for nm, width in (("q_proj", heads * head_dim),
+                              ("k_proj", kv_heads * head_dim),
+                              ("v_proj", kv_heads * head_dim)):
+                tensors[f"{p}.self_attn.{nm}.bias"] = \
+                    (rng.standard_normal(width) * 0.01).astype(np.float16)
         if arch == "MixtralForCausalLM":
             n_exp = (extra_config or {}).get("num_local_experts", 4)
             # router stays fp16 (reference keeps it unquantized)
@@ -232,11 +251,16 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
                 put_linear(f"{q}.w1", dense(inter, hidden))
                 put_linear(f"{q}.w2", dense(hidden, inter))
                 put_linear(f"{q}.w3", dense(inter, hidden))
+        elif arch == "Phi3ForCausalLM":
+            put_linear(f"{p}.mlp.gate_up_proj", dense(2 * inter, hidden))
+            put_linear(f"{p}.mlp.down_proj", dense(hidden, inter))
         else:
             put_linear(f"{p}.mlp.gate_proj", dense(inter, hidden))
             put_linear(f"{p}.mlp.up_proj", dense(inter, hidden))
             put_linear(f"{p}.mlp.down_proj", dense(hidden, inter))
     tensors["model.norm.weight"] = np.ones(hidden, np.float16)
+    if norm_bias:
+        tensors["model.norm.bias"] = np.zeros(hidden, np.float16)
     # head_scale > 1 sharpens logit margins so greedy argmax is stable
     # under bf16 shape-dependent accumulation (speculative-decode tests)
     tensors["lm_head.weight"] = \

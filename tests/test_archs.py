@@ -1,0 +1,94 @@
+"""Architecture-family coverage: Phi3 fused tensors, Qwen2 bias, Gemma2
+softcap/SWA, Qwen3 qk-norm, Cohere parallel blocks."""
+
+import numpy as np
+import pytest
+
+from exllamav2_tpu.models.model import Model
+from exllamav2_tpu.utils.testing import make_tiny_llama
+
+
+def _consistency(model, ids, max_seq=64):
+    """Decode-with-cache must match one-shot prefill (catches mask/rope/
+    cache bugs per architecture quirk)."""
+    cache = model.new_cache(batch=1, max_seq=max_seq)
+    full, _ = model.forward(ids, cache, 0)
+    cache2 = model.new_cache(batch=1, max_seq=max_seq)
+    logits = []
+    for i in range(ids.shape[1]):
+        lg, cache2 = model.forward(ids[:, i:i + 1], cache2, i)
+        logits.append(np.asarray(lg)[:, 0])
+    step = np.stack(logits, axis=1)
+    fullh = np.asarray(full)
+    assert np.isfinite(fullh).all()
+    rel = np.abs(step - fullh).max() / (np.abs(fullh).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+IDS = np.array([[3, 17, 200, 9, 55, 123, 42, 7]], np.int32)
+
+
+def test_phi3_fused(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant="exl2", seed=21,
+                        arch="Phi3ForCausalLM", hidden=256, heads=2,
+                        kv_heads=2, inter=256)
+    model = Model.from_dir(d)
+    _consistency(model, IDS)
+
+
+def test_qwen2_bias(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant="exl2", seed=22,
+                        arch="Qwen2ForCausalLM",
+                        extra_config={"attention_bias": True})
+    model = Model.from_dir(d)
+    # loader must have picked up the bias tensors
+    assert model.weights.layers[0].attn.q.bias is not None
+    _consistency(model, IDS)
+
+
+def test_gemma2_softcap_swa(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=23,
+                        arch="Gemma2ForCausalLM",
+                        extra_config={"sliding_window": 4,
+                                      "attn_logit_softcapping": 50.0,
+                                      "final_logit_softcapping": 30.0})
+    model = Model.from_dir(d)
+    st = model.static
+    assert st.attn_logit_softcap == 50.0
+    assert st.normalize_embeddings
+    # alternating SWA: even layers windowed, odd full
+    assert st.layers[0].sliding_window == 4
+    assert st.layers[1].sliding_window == 0
+    _consistency(model, IDS)
+
+
+def test_qwen3_qk_norm(tmp_path):
+    import os, json
+    d = str(tmp_path / "m")
+    make_tiny_llama(d, quant="exl2", seed=24, arch="Qwen3ForCausalLM")
+    # add the per-head norm tensors the arch expects
+    from exllamav2_tpu.stloader import TensorFileMap, write_safetensors
+    tfm = TensorFileMap(d)
+    tensors = {k: tfm.get_tensor(k).copy() for k in tfm.keys()}
+    tfm.close()
+    for l in range(2):
+        for nm in ("q_norm", "k_norm"):
+            tensors[f"model.layers.{l}.self_attn.{nm}.weight"] = \
+                np.ones(64, np.float16)    # head_dim = 256/4
+    write_safetensors(os.path.join(d, "model.safetensors"), tensors)
+    model = Model.from_dir(d)
+    assert model.static.use_qk_norm
+    assert model.weights.layers[0].attn.q_norm is not None
+    _consistency(model, IDS)
+
+
+def test_cohere_parallel_blocks(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=25,
+                        arch="CohereForCausalLM",
+                        extra_config={"layer_norm_eps": 1e-5,
+                                      "logit_scale": 0.5})
+    model = Model.from_dir(d)
+    assert model.static.parallel_blocks
+    assert model.static.norm_type == "layernorm"
+    assert model.static.logit_scale == 0.5
+    _consistency(model, IDS)
