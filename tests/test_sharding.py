@@ -1,0 +1,82 @@
+"""Multi-device sharding tests on the virtual CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from exllamav2_tpu.cache import KVCache
+from exllamav2_tpu.models.forward import model_forward
+from exllamav2_tpu.parallel.sharding import (
+    make_mesh, shard_model, shard_cache, shard_inputs)
+from exllamav2_tpu.utils.testing import random_model_weights
+
+
+@pytest.fixture(scope="module")
+def cpu_devices():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual cpu devices (conftest XLA_FLAGS)")
+    return devs
+
+
+def _tiny(tp):
+    w, st = random_model_weights(
+        vocab=512, hidden=256, layers=2, heads=8, kv_heads=tp,
+        inter=512, max_seq=64, bits=4, seed=3)
+    return w, dataclasses.replace(st, fused_matmul=False)
+
+
+def test_tp_dp_forward_matches_single(cpu_devices):
+    """Sharded forward must agree with the single-device result."""
+    w, st = _tiny(tp=4)
+    cpu0 = cpu_devices[0]
+    ids = np.array([[5, 9, 100, 7], [1, 2, 3, 4]], np.int32)
+
+    # single-device reference on the default backend (the CPU backend
+    # rejects bf16 dots outright, so tolerances absorb TPU-vs-CPU drift)
+    cache0 = KVCache.alloc(st.num_layers, 2, 64, st.num_kv_heads,
+                           st.head_dim)
+    ref, _ = jax.jit(model_forward, static_argnums=(1,))(
+        w, st, jnp.asarray(ids), cache0, jnp.int32(0))
+
+    mesh = make_mesh(8, dp=2, devices=cpu_devices)
+    with mesh:
+        ws = shard_model(w, st, mesh)
+        cache = shard_cache(
+            KVCache.alloc(st.num_layers, 2, 64, st.num_kv_heads,
+                          st.head_dim), mesh)
+        idsj = shard_inputs(jnp.asarray(ids), mesh)
+        out, _ = jax.jit(model_forward, static_argnums=(1,))(
+            ws, st, idsj, cache, jnp.int32(0))
+    a, b = np.asarray(ref), np.asarray(out)
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.02
+
+
+def test_sharded_decode_steps(cpu_devices):
+    """Two decode steps with donated sharded cache stay consistent."""
+    w, st = _tiny(tp=4)
+    mesh = make_mesh(8, dp=2, devices=cpu_devices)
+    with mesh:
+        ws = shard_model(w, st, mesh)
+        cache = shard_cache(
+            KVCache.alloc(st.num_layers, 2, 32, st.num_kv_heads,
+                          st.head_dim), mesh)
+        ids = shard_inputs(jnp.asarray(
+            [[5, 9, 100], [1, 2, 3]], np.int32), mesh)
+
+        import functools
+        step = jax.jit(functools.partial(model_forward, st),
+                       donate_argnums=(2,))
+
+        def fwd(ids_, cache_, past):
+            return jax.jit(model_forward, static_argnums=(1,),
+                           donate_argnums=(3,))(ws, st, ids_, cache_,
+                                                jnp.int32(past))
+
+        logits, cache = fwd(ids, cache, 0)
+        tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        logits2, cache = fwd(tok, cache, 3)
+        assert np.isfinite(np.asarray(logits2)).all()
