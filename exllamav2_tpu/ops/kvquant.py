@@ -63,10 +63,13 @@ def kv_quant(x: jax.Array, kind: str):
     absmax = jnp.maximum(absmax, 1e-8)
     if kind == "q4":
         q = jnp.clip(jnp.round(r / absmax * 8.0 + 8.0), 0, 15)
-        q = q.astype(jnp.uint8)
-        lo = q[..., 0::2]
-        hi = q[..., 1::2]
-        data = (lo | (hi << 4)).reshape(*x.shape[:-1], d // 2)
+        q = q.reshape(*x.shape[:-1], d).astype(jnp.uint8)
+        # half-split packing: byte j = el[j] | el[j + d/2] << 4, so unpack
+        # is two masked halves concatenated in natural element order — no
+        # lane interleave (the paged-attention kernel dequants in place)
+        lo = q[..., :d // 2]
+        hi = q[..., d // 2:]
+        data = lo | (hi << 4)
         scales = (absmax[..., 0] / 8.0).astype(jnp.bfloat16)
         return data, scales
     if kind == "q8":
@@ -86,9 +89,9 @@ def kv_dequant(data: jax.Array, scales: jax.Array | None, kind: str,
         return data.astype(dtype)
     if kind == "q4":
         lo = (data & 0x0F).astype(jnp.float32) - 8.0
-        hi = (data >> 4).astype(jnp.float32) - 8.0
+        hi = ((data >> 4) & 0x0F).astype(jnp.float32) - 8.0
         d2 = data.shape[-1]
-        q = jnp.stack([lo, hi], axis=-1).reshape(*data.shape[:-1], d2 * 2)
+        q = jnp.concatenate([lo, hi], axis=-1)         # natural order
         g = q.shape[-1] // _GROUP
         q = q.reshape(*q.shape[:-1], g, _GROUP)
         r = q * scales.astype(jnp.float32)[..., None]

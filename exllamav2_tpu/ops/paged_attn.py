@@ -21,12 +21,43 @@ __all__ = ["paged_attention", "paged_decode_attention"]
 _NEG = -1e30
 
 
-@functools.partial(jax.jit, static_argnums=(3, 6, 7, 8))
+def _lane_scales(scales):
+    """[page, G] group scales -> [page, G*32] per-lane (element-wise
+    repeat built from static broadcasts — repeat/tile semantics differ
+    across lowerings, this is unambiguous)."""
+    g = scales.shape[1]
+    page = scales.shape[0]
+    sf = scales.astype(jnp.float32)
+    return jnp.concatenate(
+        [jnp.broadcast_to(sf[:, i:i + 1], (page, 32)) for i in range(g)],
+        axis=1)
+
+
+def _dq_block(data, scales, kind):
+    """In-kernel page dequant -> f32 [page, D] WITHOUT the inverse
+    Hadamard (folded into the caller's q pre-rotation / output
+    post-rotation — the rotation commutes through the dot products)."""
+    if kind == "bf16":
+        return data.astype(jnp.float32)
+    if kind == "q8":
+        v = data.astype(jnp.int32).astype(jnp.float32) - 128.0
+        return v * _lane_scales(scales)
+    if kind == "q4":
+        w = data.astype(jnp.int32)
+        lo = (w & 15).astype(jnp.float32) - 8.0
+        hi = ((w >> 4) & 15).astype(jnp.float32) - 8.0
+        v = jnp.concatenate([lo, hi], axis=1)          # natural order
+        return v * _lane_scales(scales)
+    raise ValueError(kind)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 8, 9, 10, 11))
 def paged_decode_attention(q: jax.Array, k_data: jax.Array,
                            v_data: jax.Array, layer: int,
                            block_table: jax.Array, valid_lens: jax.Array,
-                           scale: float, page_size: int, hq: int
-                           ) -> jax.Array:
+                           k_scales, v_scales,
+                           scale: float, page_size: int, hq: int,
+                           kinds: tuple = ("bf16", "bf16")) -> jax.Array:
     """Fused paged flash-decode (t = 1), bf16 cache kind.
 
     q [B, Hq, D]; k/v_data FULL pool [L, Hkv, rows, D]; block_table [B, P]
@@ -37,14 +68,26 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
     attn.py:602-613) with online-softmax accumulation across pages.
     """
     b, _, d = q.shape
-    nl, hkv, rows, _ = k_data.shape
+    nl, hkv, rows = k_data.shape[:3]
     g = hq // hkv
     p_width = block_table.shape[1]
     qg = q.reshape(b, hkv, g, d)
     gpad = max(g, 8)
+    kk_kind, vv_kind = kinds
+    has_ks = kk_kind in ("q4", "q8")
+    has_vs = vv_kind in ("q4", "q8")
 
-    def kernel(bt_ref, vl_ref, q_ref, k_ref, v_ref, o_ref,
-               m_ref, l_ref, acc_ref):
+    def kernel(bt_ref, vl_ref, *refs):
+        i = 0
+        q_ref = refs[i]; i += 1
+        k_ref = refs[i]; i += 1
+        v_ref = refs[i]; i += 1
+        ks_ref = refs[i] if has_ks else None
+        i += has_ks
+        vs_ref = refs[i] if has_vs else None
+        i += has_vs
+        o_ref, m_ref, l_ref, acc_ref = refs[i:i + 4]
+
         bi = pl.program_id(0)
         pi = pl.program_id(1)
 
@@ -63,8 +106,10 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
                 jnp.int32, (1, page_size), 1) + start
             for h in range(hkv):
                 qh = q_ref[0, h].astype(jnp.float32)          # [G, D]
-                kk = k_ref[0, h].astype(jnp.float32)          # [page, D]
-                vv = v_ref[0, h].astype(jnp.float32)
+                kk = _dq_block(k_ref[0, h],
+                               ks_ref[0, h] if has_ks else None, kk_kind)
+                vv = _dq_block(v_ref[0, h],
+                               vs_ref[0, h] if has_vs else None, vv_kind)
                 s = jax.lax.dot_general(
                     qh, kk, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
@@ -90,17 +135,30 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
                 o_ref[0, h] = acc_ref[h, :g] / \
                     jnp.where(l == 0.0, 1.0, l)
 
+    def page_spec(arr):
+        last = arr.shape[3]
+        return pl.BlockSpec(
+            (1, hkv, page_size, last),
+            lambda bi, pi, bt, vl: (layer, 0, bt[bi, pi], 0))
+
+    in_specs = [
+        pl.BlockSpec((1, hkv, g, d),
+                     lambda bi, pi, bt, vl: (bi, 0, 0, 0)),
+        page_spec(k_data),
+        page_spec(v_data),
+    ]
+    args = [qg, k_data, v_data]
+    if has_ks:
+        in_specs.append(page_spec(k_scales))
+        args.append(k_scales)
+    if has_vs:
+        in_specs.append(page_spec(v_scales))
+        args.append(v_scales)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, p_width),
-        in_specs=[
-            pl.BlockSpec((1, hkv, g, d),
-                         lambda bi, pi, bt, vl: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hkv, page_size, d),
-                         lambda bi, pi, bt, vl: (layer, 0, bt[bi, pi], 0)),
-            pl.BlockSpec((1, hkv, page_size, d),
-                         lambda bi, pi, bt, vl: (layer, 0, bt[bi, pi], 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hkv, g, d),
                                lambda bi, pi, bt, vl: (bi, 0, 0, 0)),
         scratch_shapes=[
@@ -114,7 +172,7 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(block_table, valid_lens, qg, k_data, v_data)
+    )(block_table, valid_lens, *args)
     return out.reshape(b, 1, hq, d)
 
 
@@ -130,14 +188,34 @@ def paged_attention(q: jax.Array, cache, layer: int,
     order as the reference's direct-cache-write path attn.py:520-578).
     """
     b, t, hq, d = q.shape
-    # fused page-streaming kernel for the decode hot path
-    if (t == 1 and window == 0 and softcap == 0.0
-            and cache.kind == "bf16" and d % 128 == 0
+    # fused page-streaming kernel for the decode hot path (bf16 + Q4/Q8/Q6
+    # kinds; the Hadamard rotation commutes through the dots, so K-side is
+    # folded into a q pre-rotation and V-side into an output rotation)
+    from exllamav2_tpu.cache_paged import _kinds
+    kk_kind, vv_kind = _kinds(cache.kind)
+    if (t == 1 and window == 0 and softcap == 0.0 and d % 128 == 0
+            and kk_kind in ("bf16", "q4", "q8")
+            and vv_kind in ("bf16", "q4", "q8")
             and jax.default_backend() == "tpu"):
-        return paged_decode_attention(
-            q[:, 0].astype(jnp.bfloat16), cache.k_data, cache.v_data,
-            layer, block_table, cache_seqlens + 1,
-            float(scale), cache.page_size, hq)
+        from exllamav2_tpu.ops.kvquant import hadamard32
+        qd = q[:, 0].astype(jnp.bfloat16)
+        eff_scale = float(scale)
+        if kk_kind != "bf16":
+            h32 = hadamard32(jnp.float32)
+            qr = qd.astype(jnp.float32).reshape(b, hq, d // 32, 32)
+            qd = jnp.einsum("...i,ij->...j", qr, h32).reshape(
+                b, hq, d).astype(jnp.bfloat16)
+            eff_scale = eff_scale / 32.0
+        out = paged_decode_attention(
+            qd, cache.k_data, cache.v_data, layer, block_table,
+            cache_seqlens + 1, cache.k_scales, cache.v_scales,
+            eff_scale, cache.page_size, hq, (kk_kind, vv_kind))
+        if vv_kind != "bf16":
+            h32 = hadamard32(jnp.float32)
+            o = out.astype(jnp.float32).reshape(b, 1, hq, d // 32, 32)
+            out = (jnp.einsum("...i,ij->...j", o, h32)
+                   * (1.0 / 32.0)).reshape(b, 1, hq, d)
+        return out
     k, v = cache.gather_layer(layer, block_table)      # [B, Hkv, S, D]
     s = k.shape[2]
     hkv = k.shape[1]

@@ -37,6 +37,40 @@ def test_kernel_path_matches_model(model128):
     assert out == ref_text
 
 
+@pytest.mark.parametrize("kind", ["q8", "q4", "q6"])
+def test_kernel_quantized_kinds(model128, kind):
+    """Quantized paged kernel vs the jnp gather+dequant reference."""
+    import jax.numpy as jnp
+    from exllamav2_tpu.models.forward import model_forward_paged
+    model = model128
+    ids = np.array([[3, 17, 200, 9, 55, 123, 42, 7]], np.int32)
+
+    def run(kind_, monkey_disable=False):
+        cache = PagedKVCache.alloc(model.static.num_layers, 8,
+                                   model.static.num_kv_heads,
+                                   model.static.head_dim, kind_)
+        bt = jnp.asarray([[0, 1]], jnp.int32)
+        import functools, jax
+        step = jax.jit(functools.partial(model_forward_paged,
+                                         last_token_only=True),
+                       static_argnums=(1,), donate_argnums=(3,))
+        logits, cache = step(model.weights, model.static,
+                             jnp.asarray(ids), cache, bt,
+                             jnp.asarray([0], jnp.int32))
+        # one decode step -> kernel path (t=1)
+        nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        logits2, cache = step(model.weights, model.static, nxt, cache, bt,
+                              jnp.asarray([8], jnp.int32))
+        return np.asarray(logits2)
+
+    got = run(kind)
+    ref = run("bf16")
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    tol = {"q8": 0.05, "q6": 0.2, "q4": 0.35}[kind]
+    assert rel < tol, (kind, rel)
+    assert np.isfinite(got).all()
+
+
 def test_kernel_path_batch(model128):
     model = model128
     tk = ByteTokenizer(384)
