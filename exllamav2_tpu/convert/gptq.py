@@ -22,8 +22,6 @@ of ping-ponging to host.
 from __future__ import annotations
 
 import functools
-import math
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from exllamav2_tpu.config import ModelConfig
 from exllamav2_tpu.convert.gptq import AdaptiveGPTQ
 from exllamav2_tpu.convert.qparams import (
-    QParams, qparams_attn, qparams_mlp, qparams_head)
+    QParams, qparams_attn, qparams_mlp)
 from exllamav2_tpu.models.loader import load_model
 from exllamav2_tpu.models.forward import norm_apply, _attn_qkv, _act
 from exllamav2_tpu.ops.qmm import linear_apply

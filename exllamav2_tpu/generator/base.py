@@ -3,8 +3,6 @@ generator/base.py:58-333): synchronous full-batch generate_simple."""
 
 from __future__ import annotations
 
-import numpy as np
-
 from exllamav2_tpu.generator.sampler import Settings
 
 __all__ = ["BaseGenerator"]

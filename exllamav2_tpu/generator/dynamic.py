@@ -23,7 +23,6 @@ redesigned for XLA + the TPU tunnel:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import hashlib
 import time

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from exllamav2_tpu.stloader import STFile, bf16_bits_to_f32
 from exllamav2_tpu.models.modules import (
-    AttnWeights, LayerWeights, MLPWeights, ModelWeights)
+    LayerWeights, MLPWeights, ModelWeights)
 
 __all__ = ["Lora", "LoraLinear", "apply_lora", "remove_lora"]
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 import asyncio
 import json
 
-import numpy as np
-
 from exllamav2_tpu.generator.dynamic import DynamicGenerator, DynamicJob
 from exllamav2_tpu.generator.sampler import Settings
 

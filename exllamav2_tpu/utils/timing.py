@@ -13,8 +13,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 __all__ = ["device_time"]
 
 
