@@ -158,7 +158,24 @@ class DynamicGenerator:
                  max_seq_len: int | None = None,
                  draft_model=None, draft_cache: PagedKVCache | None = None,
                  num_draft_tokens: int = 4, use_ngram_draft: bool = False,
-                 max_ngram: int = 4):
+                 max_ngram: int = 4, mesh=None):
+        # multi-chip serving: shard weights (TP splits) + paged cache
+        # (kv-head split) over the mesh; GSPMD inserts the collectives.
+        # The fused pallas kernels are not GSPMD-partitionable, so the
+        # sharded path uses the XLA dequant+matmul / gather-attention
+        # formulations (per-shard shard_map kernels are the next step).
+        self.mesh = mesh
+        if mesh is not None:
+            import dataclasses as _dc
+            from exllamav2_tpu.parallel.sharding import (
+                shard_model, shard_paged_cache)
+            st = _dc.replace(model.static, fused_matmul=False)
+            from exllamav2_tpu.models.model import Model as _Model
+            model = _Model(shard_model(model.weights, st, mesh), st,
+                           model.config)
+            cache = shard_paged_cache(cache, mesh)
+            if draft_cache is not None:
+                draft_cache = shard_paged_cache(draft_cache, mesh)
         self.model = model
         self.cache = cache
         self.tokenizer = tokenizer
@@ -195,11 +212,20 @@ class DynamicGenerator:
         self.hist = jnp.zeros(
             (self.num_slots + 1, self.max_seq_len + num_draft_tokens + 2),
             jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+            self.hist = jax.device_put(
+                np.zeros(self.hist.shape, np.int32), rep)
         self.free_slots = list(range(self.num_slots))[::-1]
 
         self.pending: list[DynamicJob] = []
         self.active: list[DynamicJob] = []
         self._key = jax.random.PRNGKey(0)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._key = jax.device_put(
+                self._key, NamedSharding(mesh, PartitionSpec()))
         self._compiled = {}
 
     # ------------------------------------------------------------------
@@ -445,7 +471,7 @@ class DynamicGenerator:
             padded2 = np.zeros((n2,), np.int32)
             padded2[:len(job.negative_ids)] = job.negative_ids
             self.hist = self._write_hist(
-                self.hist, job.slot2, 0, jnp.asarray(padded2))
+                self.hist, job.slot2, 0, padded2)
         job.status = "prefill"
         self.active.append(job)
 
@@ -455,8 +481,7 @@ class DynamicGenerator:
         n = min(_bucket(job.prompt_len, 16), self.max_seq_len)
         padded = np.zeros((n,), np.int32)
         padded[:job.prompt_len] = job.prompt_ids
-        self.hist = self._write_hist(
-            self.hist, job.slot, 0, jnp.asarray(padded))
+        self.hist = self._write_hist(self.hist, job.slot, 0, padded)
         return True
 
     @staticmethod
@@ -689,15 +714,13 @@ class DynamicGenerator:
         for i, p in enumerate(pages):
             bt[0, i] = p.index
         fn = self._get_prefill_fn(t_bucket, p_bucket)
-        self.cache = fn(self.model.weights, self.cache,
-                        jnp.asarray(chunk), jnp.asarray(bt),
-                        jnp.asarray([pos], jnp.int32))
+        pos_a = np.asarray([pos], np.int32)
+        self.cache = fn(self.model.weights, self.cache, chunk, bt, pos_a)
         if self.draft_model is not None and not stream2:
             dfn = self._get_draft_prefill_fn(t_bucket, p_bucket)
             self.draft_cache = dfn(
-                self.draft_model.weights, self.draft_cache,
-                jnp.asarray(chunk), jnp.asarray(bt),
-                jnp.asarray([pos], jnp.int32))
+                self.draft_model.weights, self.draft_cache, chunk, bt,
+                pos_a)
         if stream2:
             job.kv_pos2 = end
         else:
@@ -757,15 +780,14 @@ class DynamicGenerator:
             for i, m in enumerate(masks):
                 if m is not None:
                     allow[i] = m
-            packed = jnp.asarray(np.packbits(allow, axis=1, bitorder="little"))
+            packed = np.packbits(allow, axis=1, bitorder="little")
 
         use_dry = any(j.settings.dry_multiplier > 0 for j in jobs)
         params = stack_settings(sett, mus)
         self._key, sub = jax.random.split(self._key)
         fn = self._get_decode_fn(b_bucket, p_bucket, any_masked, use_dry)
         args = (self.model.weights, self.cache, self.hist,
-                jnp.asarray(bts), jnp.asarray(seqlens), jnp.asarray(slots),
-                params, sub)
+                bts, seqlens, slots, params, sub)
         if any_masked:
             self.cache, self.hist, toks, probs, mu = fn(*args, packed)
         else:
@@ -846,8 +868,8 @@ class DynamicGenerator:
         fn = self._get_decode_cfg_fn(rows, p_bucket)
         self.cache, self.hist, toks, probs, mu = fn(
             self.model.weights, self.cache, self.hist,
-            jnp.asarray(bts), jnp.asarray(seqlens), jnp.asarray(slots),
-            params, jnp.asarray(np.asarray(scales, np.float32)), sub)
+            bts, seqlens, slots, params,
+            np.asarray(scales, np.float32), sub)
 
         toks_h = np.asarray(toks)
         mu_h = np.asarray(mu)
@@ -886,8 +908,7 @@ class DynamicGenerator:
         for i in range(b, b_bucket):
             sett.append(Settings.greedy())
             mus.append(0.0)
-        bts_j, seq_j, slots_j = (jnp.asarray(bts), jnp.asarray(seqlens),
-                                 jnp.asarray(slots))
+        bts_j, seq_j, slots_j = bts, seqlens, slots
 
         # draft
         drafts = np.full((b_bucket, d), -1, np.int32)   # -1 never matches
@@ -908,7 +929,7 @@ class DynamicGenerator:
         vfn = self._get_verify_fn(b_bucket, p_bucket, d)
         self.cache, self.hist, toks, accepts = vfn(
             self.model.weights, self.cache, self.hist, bts_j, seq_j,
-            slots_j, jnp.asarray(drafts), params, sub)
+            slots_j, drafts, params, sub)
 
         toks_h = np.asarray(toks)
         acc_h = np.asarray(accepts)

@@ -72,14 +72,16 @@ def stack_settings(settings: list[Settings],
     mu = mu_state if mu_state is not None else [
         (s.mirostat_mu or 0.0) for s in settings]
 
+    # host numpy (uncommitted) so the jitted step places these wherever
+    # the sharded operands live (single device or mesh)
     def f(get):
-        return jnp.asarray(np.array([get(s) for s in settings], np.float32))
+        return np.array([get(s) for s in settings], np.float32)
 
     def i(get):
-        return jnp.asarray(np.array([get(s) for s in settings], np.int32))
+        return np.array([get(s) for s in settings], np.int32)
 
     def b(get):
-        return jnp.asarray(np.array([get(s) for s in settings], np.bool_))
+        return np.array([get(s) for s in settings], np.bool_)
 
     return SamplingParams(
         temperature=f(lambda s: s.temperature),
@@ -93,7 +95,7 @@ def stack_settings(settings: list[Settings],
         skew=f(lambda s: s.skew),
         temperature_last=b(lambda s: s.temperature_last),
         mirostat=b(lambda s: s.mirostat),
-        mirostat_mu=jnp.asarray(np.array(mu, np.float32)),
+        mirostat_mu=np.array(mu, np.float32),
         mirostat_tau=f(lambda s: s.mirostat_tau),
         mirostat_eta=f(lambda s: s.mirostat_eta),
         min_temp=f(lambda s: s.min_temp),
@@ -120,4 +122,4 @@ def _stack_breakers(settings: list[Settings], width: int = 8):
         b = sorted(s.dry_sequence_breakers)[:width] \
             if s.dry_sequence_breakers else []
         rows.append(b + [-1] * (width - len(b)))
-    return jnp.asarray(np.array(rows, np.int32))
+    return np.array(rows, np.int32)

@@ -164,7 +164,8 @@ def attn_forward_paged(x: jax.Array, aw: AttnWeights, st: StaticModel,
     window = st.layers[layer].sliding_window if st.layers else 0
     out = paged_attention(q, cache, layer, block_table, cache_seqlens,
                           scale=scale, window=window,
-                          softcap=st.attn_logit_softcap)
+                          softcap=st.attn_logit_softcap,
+                          allow_kernel=st.fused_matmul)
     out = out.astype(jnp.bfloat16).reshape(b * t, hq * hd)
     out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, t, -1)
     return out, cache

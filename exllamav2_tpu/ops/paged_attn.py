@@ -179,7 +179,8 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
 def paged_attention(q: jax.Array, cache, layer: int,
                     block_table: jax.Array, cache_seqlens: jax.Array,
                     *, scale: float | jax.Array,
-                    window: int = 0, softcap: float = 0.0) -> jax.Array:
+                    window: int = 0, softcap: float = 0.0,
+                    allow_kernel: bool = True) -> jax.Array:
     """q [B, T, Hq, D] -> attention output [B, T, Hq, D] (f32).
 
     cache_seqlens[b] = past length BEFORE the current q tokens; the cache
@@ -193,7 +194,8 @@ def paged_attention(q: jax.Array, cache, layer: int,
     # folded into a q pre-rotation and V-side into an output rotation)
     from exllamav2_tpu.cache_paged import _kinds
     kk_kind, vv_kind = _kinds(cache.kind)
-    if (t == 1 and window == 0 and softcap == 0.0 and d % 128 == 0
+    if (allow_kernel and t == 1 and window == 0 and softcap == 0.0
+            and d % 128 == 0
             and kk_kind in ("bf16", "q4", "q8")
             and vv_kind in ("bf16", "q4", "q8")
             and jax.default_backend() == "tpu"):

@@ -148,3 +148,20 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
 
 def shard_inputs(ids, mesh: Mesh):
     return _put(ids, mesh, P("dp", None))
+
+
+def shard_paged_cache(cache, mesh: Mesh):
+    """Paged pool split: kv-heads on tp (layout [L, Hkv, rows, D']).
+
+    Page indices are host-global, so every shard holds the same page
+    table — the property SURVEY §7 calls out for multi-host serving."""
+    import dataclasses as dc
+    spec = P(None, "tp", None, None)
+
+    def put(x):
+        return None if x is None else _put(x, mesh, spec)
+
+    return dc.replace(cache, k_data=put(cache.k_data),
+                      k_scales=put(cache.k_scales),
+                      v_data=put(cache.v_data),
+                      v_scales=put(cache.v_scales))

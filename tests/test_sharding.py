@@ -55,6 +55,40 @@ def test_tp_dp_forward_matches_single(cpu_devices):
     assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.02
 
 
+def test_sharded_generator_serving(cpu_devices):
+    """End-to-end sharded serving: DynamicGenerator over a dp x tp mesh
+    produces the same greedy output as the single-device generator."""
+    import tempfile
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator
+    from exllamav2_tpu.generator.sampler import Settings
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+
+    d = tempfile.mkdtemp()
+    make_tiny_llama(d, quant="exl2", seed=5, vocab=384, heads=8,
+                    kv_heads=4, max_pos=2048, head_scale=6.0)
+    model = Model.from_dir(d)
+    tk = ByteTokenizer(384)
+
+    def cache():
+        return PagedKVCache.alloc(model.static.num_layers, 16,
+                                  model.static.num_kv_heads,
+                                  model.static.head_dim, "bf16")
+
+    plain = DynamicGenerator(model, cache(), tk).generate(
+        "hello world", max_new_tokens=8, settings=Settings.greedy())
+
+    mesh = make_mesh(8, dp=2, devices=cpu_devices)
+    gen = DynamicGenerator(model, cache(), tk, mesh=mesh)
+    sharded = gen.generate("hello world", max_new_tokens=8,
+                           settings=Settings.greedy())
+    # bf16 accumulation differs between backends; require agreement on
+    # the leading tokens (clear-margin region with head_scale=6)
+    assert sharded[:4] == plain[:4], (sharded, plain)
+
+
 def test_sharded_decode_steps(cpu_devices):
     """Two decode steps with donated sharded cache stay consistent."""
     w, st = _tiny(tp=4)
