@@ -84,10 +84,11 @@ def rope_params(cfg) -> tuple[np.ndarray, float]:
         low = max(math.floor(find_dim(beta_fast)), 0)
         high = min(math.ceil(find_dim(beta_slow)), dim - 1)
         rng = np.arange(dim // 2, dtype=np.float64)
+        # ramp 0 at the high-frequency head (extrapolate: keep inv_freq)
+        # -> 1 at the low-frequency tail (interpolate: divide by factor)
         ramp = np.clip((rng - low) / max(high - low, 1e-3), 0, 1)
-        mask = 1 - ramp       # 1 = interpolate, 0 = extrapolate
         inv_freq_inter = inv_freq / partial_factor
-        inv_freq = inv_freq * (1 - mask) + inv_freq_inter * mask
+        inv_freq = inv_freq * (1 - ramp) + inv_freq_inter * ramp
 
         def get_mscale(s, m=1.0):
             if s <= 1.0 or m == 0.0:
