@@ -85,7 +85,12 @@ class STFile:
 
     def close(self):
         if self._mm is not None:
-            self._mm.close()
+            try:
+                self._mm.close()
+            except BufferError:
+                # zero-copy tensor views still reference the mapping; the
+                # OS reclaims it when the last view is garbage-collected
+                pass
             self._mm = None
 
 
