@@ -1,14 +1,22 @@
 """EXL2 conversion pipeline: measure -> optimize -> quantize -> compile.
 
 Analog of the reference's conversion/ package + convert_exl2.py job state
-machine: calibration forward with captured intermediates (measure.py),
-per-module candidate measurement (RTN fast path), global bit allocation by
-simulated annealing + greedy top-up (optimize.py:105-158, ext_c.sim_anneal),
-Hessian-aware GPTQ quantization with reconstruction sanity check
-(quantize.py:50-132), and final safetensors assembly (compile.py).
+machine (convert_exl2.py:228-316): calibration forward with captured
+intermediates (measure.py), per-module candidate measurement (RTN fast
+path), global bit allocation by simulated annealing + greedy top-up
+(optimize.py:105-158, ext_c.sim_anneal), Hessian-aware GPTQ quantization
+with reconstruction sanity check (quantize.py:50-132), lm_head
+quantization at head_bits (quantize.py:443-543), and final safetensors
+assembly (compile.py).
 
-Runs the heavy math (Hessians, Cholesky, GPTQ recursion, candidate errors)
-on the TPU via jnp; the state machine is resumable via job.json.
+Module coverage is architecture-derived (measure.py:577-605 equivalents):
+MoE experts, fused qkv / gate_up (unfused on output like the reference),
+ungated MLPs, parallel-decoder blocks and biased layers all convert.
+
+Resumable per stage AND per layer: measurement.json persists candidate
+errors incrementally; the quantize stage writes one safetensors file per
+layer under out_dir/quant/ and re-derives propagation states from them on
+resume. Captured activations live only for the layer being processed.
 """
 
 from __future__ import annotations
@@ -25,13 +33,14 @@ import jax.numpy as jnp
 from exllamav2_tpu.config import ModelConfig
 from exllamav2_tpu.convert.gptq import AdaptiveGPTQ
 from exllamav2_tpu.convert.qparams import (
-    QParams, qparams_attn, qparams_mlp)
+    QParams, qparams_attn, qparams_mlp, qparams_head_for)
 from exllamav2_tpu.models.loader import load_model
+from exllamav2_tpu.models.modules import MoEWeights
 from exllamav2_tpu.models.forward import norm_apply, _attn_qkv, _act
 from exllamav2_tpu.ops.qmm import linear_apply
 from exllamav2_tpu.quant import formats as F
 from exllamav2_tpu.quant.qtensor import DenseLinear, from_dense
-from exllamav2_tpu.stloader import write_safetensors
+from exllamav2_tpu.stloader import write_safetensors, STFile
 from exllamav2_tpu.cache import KVCache
 
 __all__ = ["convert_model", "calibration_rows"]
@@ -41,10 +50,17 @@ def calibration_rows(tokenizer, num_rows: int = 16, row_len: int = 256,
                      text: str | None = None, seed: int = 0) -> np.ndarray:
     """Tokenized calibration rows (conversion/tokenize.py analog).
 
-    With no text given, generates a deterministic pseudo-text mix — the
-    environment has no network access for the reference's standard
-    parquet sets; pass real text for production conversions.
+    `text` may be a string, a path to a .txt file, or a path to a .parquet
+    file with a text column (the reference's standard calibration format).
+    With nothing given, generates a deterministic pseudo-text mix (no
+    network access for the reference's standard sets in this environment).
     """
+    if isinstance(text, str) and os.path.exists(text):
+        if text.endswith(".parquet"):
+            text = _read_parquet_text(text)
+        else:
+            with open(text) as f:
+                text = f.read()
     if text is None:
         rng = np.random.default_rng(seed)
         words = ["the", "of", "and", "to", "in", "a", "is", "that", "for",
@@ -57,6 +73,29 @@ def calibration_rows(tokenizer, num_rows: int = 16, row_len: int = 256,
     while len(ids) < need:
         ids = np.concatenate([ids, ids])
     return ids[:need].reshape(num_rows, row_len).astype(np.int32)
+
+
+def _read_parquet_text(path: str) -> str:
+    """Concatenate the text column of a parquet file (tokenize.py:60-87)."""
+    try:
+        import pyarrow.parquet as pq
+        table = pq.read_table(path)
+    except ImportError:
+        try:
+            import pandas as pd
+            df = pd.read_parquet(path)
+            for col in df.columns:
+                if df[col].dtype == object:
+                    return "\n\n".join(str(v) for v in df[col])
+            raise ValueError(f"no text column in {path}")
+        except ImportError as e:
+            raise RuntimeError(
+                "parquet calibration needs pyarrow or pandas") from e
+    for name in table.column_names:
+        col = table.column(name)
+        if str(col.type) in ("string", "large_string"):
+            return "\n\n".join(str(v) for v in col.to_pylist())
+    raise ValueError(f"no text column in {path}")
 
 
 # ---------------------------------------------------------------------------
@@ -79,33 +118,78 @@ def _causal_attn(q, k, v, scale):
     return out.reshape(b, t, hq * hd)
 
 
-def _layer_forward_capture(lw, st, x, sin, cos):
+def _layer_forward_capture(lw, st, x, sin, cos, want_caps=True):
     """One decoder layer on [R, T, d]; returns (out, captures dict).
 
-    captures: attn_in (input to q/k/v), o_in, mlp_in (input to gate/up),
-    down_in — the Hessian sources (measure.py:577-605).
+    captures: attn_in (input to q/k/v), o_in, mlp_in (input to gate/up or
+    expert w1/w3), down_in / down_in_{e} — the Hessian sources
+    (measure.py:577-605). Handles post-norms, parallel blocks, MoE and
+    ungated MLPs like models/forward.py.
     """
     b, t, d = x.shape
     cap = {}
     hidden = norm_apply(x, lw.attn.norm, st)
-    cap["attn_in"] = hidden
+    if want_caps:
+        cap["attn_in"] = hidden
     q, k, v = _attn_qkv(x, lw.attn, st, sin, cos)
     scale = st.attn_scale if st.attn_scale is not None else \
         st.head_dim ** -0.5
     att = _causal_attn(q, k, v, scale).astype(jnp.bfloat16)
-    cap["o_in"] = att
+    if want_caps:
+        cap["o_in"] = att
     o = linear_apply(att.reshape(b * t, -1), lw.attn.o,
                      fused=False).reshape(b, t, -1)
-    x = x + o
-    hidden2 = norm_apply(x, lw.mlp.norm, st)
-    cap["mlp_in"] = hidden2
+    if lw.attn.norm_post is not None:
+        o = norm_apply(o, lw.attn.norm_post, st)
+
+    mlp = lw.mlp
+    if st.parallel_blocks:
+        mlp_x = x
+    else:
+        x = x + o * st.scale_depth
+        mlp_x = x
+    hidden2 = norm_apply(mlp_x, mlp.norm, st)
+    if want_caps:
+        cap["mlp_in"] = hidden2
     h2 = hidden2.reshape(b * t, d)
-    gate = linear_apply(h2, lw.mlp.gate, fused=False)
-    up = linear_apply(h2, lw.mlp.up, fused=False)
-    inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
-    cap["down_in"] = inter
-    down = linear_apply(inter, lw.mlp.down, fused=False).reshape(b, t, -1)
-    x = x + down
+
+    if isinstance(mlp, MoEWeights):
+        router_logits = linear_apply(h2, mlp.router, fused=False)
+        probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+        topw, topi = jax.lax.top_k(probs, st.num_experts_per_tok)
+        if st.norm_topk_prob:
+            topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+        mix = jnp.zeros_like(probs).at[
+            jnp.arange(probs.shape[0])[:, None], topi].set(topw)
+        out = None
+        hb = h2.astype(jnp.bfloat16)
+        for e in range(st.num_experts):
+            gate = linear_apply(hb, mlp.w1[e], fused=False)
+            up = linear_apply(hb, mlp.w3[e], fused=False)
+            inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
+            if want_caps:
+                cap[f"down_in_{e}"] = inter
+            y = linear_apply(inter, mlp.w2[e], fused=False)
+            y = y * mix[:, e:e + 1]
+            out = y if out is None else out + y
+        m_out = out.reshape(b, t, -1)
+    else:
+        up = linear_apply(h2, mlp.up, fused=False)
+        if st.mlp_gated and mlp.gate is not None:
+            gate = linear_apply(h2, mlp.gate, fused=False)
+            inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
+        else:
+            inter = _act(up, st.mlp_act).astype(jnp.bfloat16)
+        if want_caps:
+            cap["down_in"] = inter
+        m_out = linear_apply(inter, mlp.down, fused=False).reshape(b, t, -1)
+    if getattr(mlp, "norm_post", None) is not None:
+        m_out = norm_apply(m_out, mlp.norm_post, st)
+
+    if st.parallel_blocks:
+        x = x + o + m_out
+    else:
+        x = x + m_out * st.scale_depth
     return x, cap
 
 
@@ -130,7 +214,8 @@ def optimize_allocation(slots: list[list[tuple[int, float]]],
     """slots[i] = [(cost_bits, err), ...] -> chosen option index per slot.
 
     Minimizes sum(err) under the budget (ext_c.sim_anneal +
-    optimize.py:129-158 greedy top-up).
+    optimize.py:129-158 greedy top-up). Options are sorted by cost; the
+    returned index refers to that sorted order.
     """
     rng = np.random.default_rng(seed)
     n = len(slots)
@@ -183,40 +268,160 @@ def optimize_allocation(slots: list[list[tuple[int, float]]],
 
 
 # ---------------------------------------------------------------------------
-# main driver
+# architecture-derived module lists (measure.py:577-605 analog)
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
 class _Sub:
-    name: str              # tensor key suffix, e.g. "self_attn.q_proj"
+    name: str              # canonical output key, e.g. "...self_attn.q_proj"
     cap: str               # capture key feeding it
+    kind: str              # "attn" | "mlp" (allocation slot group)
     lin: object            # DenseLinear
+    field: str             # attribute path for weight replacement
 
 
-def _layer_subs(lw, l):
-    p = f"model.layers.{l}"
-    return [
-        _Sub(f"{p}.self_attn.q_proj", "attn_in", lw.attn.q),
-        _Sub(f"{p}.self_attn.k_proj", "attn_in", lw.attn.k),
-        _Sub(f"{p}.self_attn.v_proj", "attn_in", lw.attn.v),
-        _Sub(f"{p}.self_attn.o_proj", "o_in", lw.attn.o),
-        _Sub(f"{p}.mlp.gate_proj", "mlp_in", lw.mlp.gate),
-        _Sub(f"{p}.mlp.up_proj", "mlp_in", lw.mlp.up),
-        _Sub(f"{p}.mlp.down_proj", "down_in", lw.mlp.down),
+def _layer_subs(cfg: ModelConfig, lw, l: int) -> list[_Sub]:
+    """Quantizable sub-linears of one layer, from the architecture.
+
+    Fused qkv / gate_up checkpoints were already sliced at load; the
+    output always stores unfused canonical keys (the reference does the
+    same — each submodule packs its own EXL2 tensor set).
+    """
+    arch = cfg.arch
+    p = arch.lm_prefix + f"model.layers.{l}"
+    subs = [
+        _Sub(f"{p}.self_attn.q_proj", "attn_in", "attn", lw.attn.q, "attn.q"),
+        _Sub(f"{p}.self_attn.k_proj", "attn_in", "attn", lw.attn.k, "attn.k"),
+        _Sub(f"{p}.self_attn.v_proj", "attn_in", "attn", lw.attn.v, "attn.v"),
+        _Sub(f"{p}.self_attn.o_proj", "o_in", "attn", lw.attn.o, "attn.o"),
     ]
+    if isinstance(lw.mlp, MoEWeights):
+        for e in range(cfg.num_experts):
+            subs += [
+                _Sub(arch.lm_prefix + arch.key_moe_w1.format(l=l, e=e),
+                     "mlp_in", "mlp", lw.mlp.w1[e], f"mlp.w1.{e}"),
+                _Sub(arch.lm_prefix + arch.key_moe_w3.format(l=l, e=e),
+                     "mlp_in", "mlp", lw.mlp.w3[e], f"mlp.w3.{e}"),
+                _Sub(arch.lm_prefix + arch.key_moe_w2.format(l=l, e=e),
+                     f"down_in_{e}", "mlp", lw.mlp.w2[e], f"mlp.w2.{e}"),
+            ]
+    else:
+        if lw.mlp.gate is not None:
+            gate_key = (arch.key_mlp_gate or "model.layers.{l}.mlp.gate_proj"
+                        ).split("|")[0].format(l=l)
+            subs.append(_Sub(arch.lm_prefix + gate_key, "mlp_in", "mlp",
+                             lw.mlp.gate, "mlp.gate"))
+        up_key = arch.key_mlp_up.split("|")[0].format(l=l)
+        down_key = arch.key_mlp_down.split("|")[0].format(l=l)
+        if arch.fused_gate_up:
+            up_key = f"model.layers.{l}.mlp.up_proj"
+            if lw.mlp.gate is not None:
+                subs[-1].name = arch.lm_prefix + \
+                    f"model.layers.{l}.mlp.gate_proj"
+        subs.append(_Sub(arch.lm_prefix + up_key, "mlp_in", "mlp",
+                         lw.mlp.up, "mlp.up"))
+        subs.append(_Sub(arch.lm_prefix + down_key, "down_in", "mlp",
+                         lw.mlp.down, "mlp.down"))
+    return subs
 
+
+def _replace_lin(lw, field: str, new):
+    """Return a copy of LayerWeights with one sub-linear replaced."""
+    import dataclasses as dc
+    parts = field.split(".")
+    if parts[0] == "attn":
+        return dc.replace(lw, attn=dc.replace(lw.attn, **{parts[1]: new}))
+    mlp = lw.mlp
+    if len(parts) == 3:                    # moe expert tuple
+        tup = list(getattr(mlp, parts[1]))
+        tup[int(parts[2])] = new
+        return dc.replace(lw, mlp=dc.replace(mlp, **{parts[1]: tuple(tup)}))
+    return dc.replace(lw, mlp=dc.replace(mlp, **{parts[1]: new}))
+
+
+# ---------------------------------------------------------------------------
+# per-module GPTQ quantize + pack
+# ---------------------------------------------------------------------------
+
+def _quantize_sub(sub: _Sub, qp: QParams, cap: dict,
+                  shared: dict) -> tuple[dict, np.ndarray]:
+    """GPTQ-quantize one sub-linear; returns (tensor dict, recon [K, N])."""
+    w_t = np.asarray(sub.lin.weight, np.float32)
+    k, n = w_t.shape
+    g = AdaptiveGPTQ(w_t)
+    if sub.cap in shared:
+        g.reuse_h(shared[sub.cap])
+    else:
+        g.add_batch(np.asarray(cap[sub.cap], np.float32))
+        g.prepare()
+        shared[sub.cap] = g
+    res = g.quantize(qp.groups(k))
+    t = F.exl2_pack_quantized(
+        res["q"], np.asarray(res["qscale"], np.uint16),
+        res["qscale_max"].astype(np.float16) / np.float16(1.0),
+        res["bits"], qp.group_size, res["invperm"])
+    # sanity: packed tensors must reconstruct dq within 0.05
+    # (conversion/quantize.py:96-124 gate)
+    recon = F.exl2_dequantize(t, original_order=True)
+    dq_orig = res["dq"][res["invperm"]]
+    diff = np.abs(recon - dq_orig).max()
+    assert diff < 0.05, \
+        f"reconstruction check failed on {sub.name}: {diff}"
+    tensors = {
+        f"{sub.name}.q_weight": t.q_weight,
+        f"{sub.name}.q_scale": t.q_scale,
+        f"{sub.name}.q_scale_max": t.q_scale_max.astype(np.float16),
+        f"{sub.name}.q_groups": t.q_groups,
+        f"{sub.name}.q_invperm": t.q_invperm,
+    }
+    return tensors, recon
+
+
+def _load_layer_recons(path: str, subs: list[_Sub]) -> dict[str, np.ndarray]:
+    """Rebuild recon weights from a finished layer file (resume path)."""
+    st = STFile(path)
+    out = {}
+    for sub in subs:
+        t = F.Exl2Tensor(
+            k=0, n=0,
+            q_weight=st.get_tensor(f"{sub.name}.q_weight"),
+            q_scale=st.get_tensor(f"{sub.name}.q_scale"),
+            q_scale_max=st.get_tensor(
+                f"{sub.name}.q_scale_max").astype(np.float16),
+            q_groups=st.get_tensor(f"{sub.name}.q_groups"),
+            q_invperm=st.get_tensor(f"{sub.name}.q_invperm"))
+        t.n = t.q_weight.shape[1]
+        t.k = t.q_invperm.shape[0]
+        out[sub.name] = F.exl2_dequantize(t, original_order=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# main driver
+# ---------------------------------------------------------------------------
 
 def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
-                  head_bits: int = 8, cal_rows: int = 8,
+                  head_bits: int = 6, cal_rows: int = 8,
                   cal_len: int = 256, cal_text: str | None = None,
                   seed: int = 0, progress=print) -> str:
-    """Convert an FP16/BF16 checkpoint to EXL2 at `bits` average bpw."""
+    """Convert an FP16/BF16 checkpoint to EXL2 at `bits` average bpw.
+
+    head_bits: 2..8 quantizes lm_head at that width (reference
+    quant_lm_head, quantize.py:443-543); 16/None keeps it fp16.
+    """
     os.makedirs(out_dir, exist_ok=True)
+    quant_dir = os.path.join(out_dir, "quant")
+    os.makedirs(quant_dir, exist_ok=True)
     job_path = os.path.join(out_dir, "job.json")
-    job = {"stage": "start"}
+    meas_path = os.path.join(out_dir, "measurement.json")
+    job = {"stage": "measure"}
     if os.path.exists(job_path):
         with open(job_path) as f:
             job = json.load(f)
+
+    def save_job():
+        with open(job_path, "w") as f:
+            json.dump(job, f)
 
     cfg = ModelConfig.from_dir(model_dir)
     assert cfg.quant_method is None, "source must be an unquantized model"
@@ -228,136 +433,181 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     rows = np.clip(rows, 0, cfg.vocab_size - 1)
 
     # embeddings (conversion/measure.py:71-92)
-    x = jnp.take(weights.embed, jnp.asarray(rows), axis=0)
-    x = x.astype(jnp.bfloat16)
+    def embed_states():
+        x = jnp.take(weights.embed, jnp.asarray(rows), axis=0)
+        x = x.astype(jnp.float32)
+        if st.normalize_embeddings:
+            x = x * (st.hidden_size ** 0.5)
+        if st.embedding_multiplier != 1.0:
+            x = x * st.embedding_multiplier
+        return x.astype(jnp.bfloat16)
+
     pos = jnp.arange(rows.shape[1], dtype=jnp.int32)
     sin = jnp.take(weights.sin, pos, axis=0)
     cos = jnp.take(weights.cos, pos, axis=0)
 
-    out_tensors: dict[str, np.ndarray] = {}
     attn_opts, mlp_opts = qparams_attn(), qparams_mlp()
+    head_qp = qparams_head_for(head_bits)
+    quantize_head = (head_qp is not None and not cfg.tie_word_embeddings
+                     and isinstance(weights.head, DenseLinear)
+                     and cfg.tensor_file_map.has_prefix(
+                         cfg.arch.lm_prefix + cfg.arch.key_head + "."))
 
-    # ---- measure + quantize layer by layer ----
-    # Stage 1 (measure): candidate errors per module with RTN.
-    # Stage 2 (optimize): pick per-module options to hit the budget.
-    # Stage 3 (quantize): GPTQ with chosen options, propagate recon.
-    measured = []      # per layer: {"attn": [(bits, err)...], "mlp": [...]}
-    caps_per_layer = []
-    hs = x
-    for l, lw in enumerate(weights.layers):
-        hs, cap = _layer_forward_capture(lw, st, hs, sin, cos)
-        caps_per_layer.append({k: np.asarray(v, np.float16)
-                               for k, v in cap.items()})
-        progress(f" -- measured layer {l + 1}/{st.num_layers}")
+    # ---- stage: measure (RTN candidate errors, persisted per layer) ----
+    meas = {"layers": {}}
+    if os.path.exists(meas_path):
+        with open(meas_path) as f:
+            meas = json.load(f)
+    if job["stage"] == "measure":
+        hs = embed_states()
+        for l, lw in enumerate(weights.layers):
+            if str(l) in meas["layers"]:
+                hs, _ = _layer_forward_capture(lw, st, hs, sin, cos,
+                                               want_caps=False)
+                continue
+            hs, cap = _layer_forward_capture(lw, st, hs, sin, cos)
+            cap = {k: np.asarray(v, np.float16) for k, v in cap.items()}
+            entry = {}
+            for kind, opts in (("attn", attn_opts), ("mlp", mlp_opts)):
+                subs = [s for s in _layer_subs(cfg, lw, l) if s.kind == kind]
+                if not subs:
+                    entry[kind] = []
+                    continue
+                prepped = []
+                for sub in subs:
+                    w_t = np.asarray(sub.lin.weight, np.float32)
+                    g = AdaptiveGPTQ(w_t)
+                    g.add_batch(cap[sub.cap].astype(np.float32))
+                    diag = np.asarray(jnp.diagonal(g.hessian))
+                    perm = np.argsort(-diag)
+                    g.w = g.w[perm]
+                    prepped.append((sub, g, np.argsort(perm), w_t))
+                opt_list = []
+                for qp in opts:
+                    tot_bits = 0
+                    err = 0.0
+                    for sub, g, inv, w_t in prepped:
+                        k, n = w_t.shape
+                        dq = g.quantize_rtn(qp.groups(k))[inv]
+                        err += _sublayer_out_err(cap[sub.cap], w_t, dq)
+                        tot_bits += qp.total_bits(k, n)
+                    opt_list.append((tot_bits, err))
+                entry[kind] = opt_list
+            meas["layers"][str(l)] = entry
+            with open(meas_path, "w") as f:
+                json.dump(meas, f)
+            progress(f" -- measured layer {l + 1}/{st.num_layers}")
+        job["stage"] = "optimize"
+        save_job()
 
-    # measurement: error of each candidate on each module (RTN fast)
-    slots = []
-    slot_meta = []     # (layer, kind)
-    for l, lw in enumerate(weights.layers):
-        cap = caps_per_layer[l]
-        for kind, opts in (("attn", attn_opts), ("mlp", mlp_opts)):
-            subs = [s for s in _layer_subs(lw, l)
-                    if ("self_attn" in s.name) == (kind == "attn")]
-            # per-sub act-order perm from the Hessian diagonal, built once
-            prepped = []
-            for sub in subs:
-                w_t = np.asarray(sub.lin.weight, np.float32)
-                g = AdaptiveGPTQ(w_t)
-                g.add_batch(cap[sub.cap].astype(np.float32))
-                diag = np.asarray(jnp.diagonal(g.hessian))
-                perm = np.argsort(-diag)
-                g.w = g.w[perm]
-                prepped.append((sub, g, np.argsort(perm), w_t))
-            opt_list = []
-            for qp in opts:
-                tot_bits = 0
-                err = 0.0
-                for sub, g, inv, w_t in prepped:
-                    k, n = w_t.shape
-                    dq = g.quantize_rtn(qp.groups(k))[inv]
-                    err += _sublayer_out_err(cap[sub.cap], w_t, dq)
-                    tot_bits += qp.total_bits(k, n)
-                opt_list.append((tot_bits, err))
-            slots.append(opt_list)
-            slot_meta.append((l, kind))
-        progress(f" -- candidates layer {l + 1}/{st.num_layers}")
+    # ---- stage: optimize (global allocation) ----
+    if job["stage"] == "optimize":
+        slots, slot_meta = [], []
+        for l in range(st.num_layers):
+            entry = meas["layers"][str(l)]
+            for kind in ("attn", "mlp"):
+                if entry[kind]:
+                    slots.append([tuple(o) for o in entry[kind]])
+                    slot_meta.append((l, kind))
+        total_weights = sum(
+            int(np.prod(sub.lin.weight.shape))
+            for l, lw in enumerate(weights.layers)
+            for sub in _layer_subs(cfg, lw, l))
+        budget = int(bits * total_weights)
+        choice = optimize_allocation([list(s) for s in slots], budget, seed)
+        strategy = {}
+        for (l, kind), ci in zip(slot_meta, choice):
+            opts = attn_opts if kind == "attn" else mlp_opts
+            # the optimizer works on cost-sorted options; recover the
+            # QParams by matching the chosen exact cost among candidates
+            costs = [(opts[i].total_bits(4096, 4096), i)
+                     for i in range(len(opts))]
+            srt = sorted(range(len(opts)), key=lambda i: costs[i][0])
+            strategy[f"{l}.{kind}"] = srt[ci]
+        job["strategy"] = strategy
+        job["stage"] = "quantize"
+        save_job()
+        progress(" -- optimized bit allocation")
 
-    # budget
-    total_weights = sum(
-        int(np.prod(sub.lin.weight.shape))
-        for l, lw in enumerate(weights.layers) for sub in _layer_subs(lw, l))
-    budget = int(bits * total_weights)
-    # map option costs back to QParams
-    choice = optimize_allocation([list(s) for s in slots], budget, seed)
-    strategy = {}
-    for (l, kind), ci in zip(slot_meta, choice):
+    strategy = {k: int(v) for k, v in job.get("strategy", {}).items()}
+
+    def qp_for(l, kind):
         opts = attn_opts if kind == "attn" else mlp_opts
-        srt = sorted(range(len(opts)),
-                     key=lambda i: opts[i].total_bits(256, 256))
-        strategy[(l, kind)] = opts[srt[ci]]
-    progress(" -- optimized bit allocation")
+        return opts[strategy[f"{l}.{kind}"]]
 
-    # ---- final quantization with GPTQ error propagation ----
-    hs = x
-    new_layers = []
+    # ---- stage: quantize (GPTQ + per-layer output files) ----
+    if job["stage"] == "quantize":
+        hs = embed_states()
+        for l, lw in enumerate(weights.layers):
+            subs = _layer_subs(cfg, lw, l)
+            layer_path = os.path.join(quant_dir, f"layer_{l}.safetensors")
+            if os.path.exists(layer_path):
+                recons = _load_layer_recons(layer_path, subs)
+                lw2 = lw
+                for sub in subs:
+                    lw2 = _replace_lin(lw2, sub.field,
+                                       from_dense(recons[sub.name],
+                                                  _bias_of(sub.lin)))
+                weights.layers = _set_layer(weights.layers, l, lw2)
+                hs, _ = _layer_forward_capture(lw2, st, hs, sin, cos,
+                                               want_caps=False)
+                continue
+            _, cap = _layer_forward_capture(lw, st, hs, sin, cos)
+            cap = {k: np.asarray(v, np.float16) for k, v in cap.items()}
+            shared: dict[str, AdaptiveGPTQ] = {}
+            tensors = {}
+            lw2 = lw
+            for sub in subs:
+                qp = qp_for(l, sub.kind)
+                t, recon = _quantize_sub(sub, qp, cap, shared)
+                tensors.update(t)
+                # replace with reconstruction so later layers see the error
+                # (conversion/quantize.py:132)
+                lw2 = _replace_lin(lw2, sub.field,
+                                   from_dense(recon, _bias_of(sub.lin)))
+            write_safetensors(layer_path, tensors)
+            weights.layers = _set_layer(weights.layers, l, lw2)
+            hs, _ = _layer_forward_capture(lw2, st, hs, sin, cos,
+                                           want_caps=False)
+            progress(f" -- quantized layer {l + 1}/{st.num_layers}")
+
+        # lm_head at head_bits (quantize.py:443-543)
+        if quantize_head:
+            head_path = os.path.join(quant_dir, "head.safetensors")
+            if not os.path.exists(head_path):
+                hnorm = norm_apply(hs, weights.final_norm, st)
+                head_key = cfg.arch.lm_prefix + cfg.arch.key_head
+                sub = _Sub(head_key, "head_in", "head", weights.head, "head")
+                cap = {"head_in": np.asarray(hnorm, np.float16)}
+                t, _recon = _quantize_sub(sub, head_qp, cap, {})
+                write_safetensors(head_path, t)
+                progress(f" -- quantized lm_head ({head_qp.desc})")
+        job["stage"] = "compile"
+        save_job()
+
+    # ---- stage: compile (compile.py analog) ----
+    quantized_prefixes = set()
     for l, lw in enumerate(weights.layers):
-        _, cap = _layer_forward_capture(lw, st, hs, sin, cos)
-        shared: dict[str, AdaptiveGPTQ] = {}
-        new_lin = {}
-        for sub in _layer_subs(lw, l):
-            kind = "attn" if "self_attn" in sub.name else "mlp"
-            qp: QParams = strategy[(l, kind)]
-            w_t = np.asarray(sub.lin.weight, np.float32)
-            k, n = w_t.shape
-            g = AdaptiveGPTQ(w_t)
-            if sub.cap in shared:
-                g.reuse_h(shared[sub.cap])
-            else:
-                g.add_batch(cap[sub.cap].astype(np.float32))
-                g.prepare()
-                shared[sub.cap] = g
-            res = g.quantize(qp.groups(k))
-            # pack to EXL2 tensors
-            bits_list = res["bits"]
-            t = F.exl2_pack_quantized(
-                res["q"], np.asarray(res["qscale"], np.uint16),
-                res["qscale_max"].astype(np.float16) / np.float16(1.0),
-                bits_list, qp.group_size, res["invperm"])
-            # sanity: packed tensors must reconstruct dq within 0.05
-            recon = F.exl2_dequantize(t, original_order=True)
-            dq_orig = res["dq"][res["invperm"]]
-            diff = np.abs(recon - dq_orig).max()
-            assert diff < 0.05, \
-                f"reconstruction check failed on {sub.name}: {diff}"
-            for suffix, arr in (
-                    ("q_weight", t.q_weight), ("q_scale", t.q_scale),
-                    ("q_scale_max", t.q_scale_max.astype(np.float16)),
-                    ("q_groups", t.q_groups),
-                    ("q_invperm", t.q_invperm)):
-                out_tensors[f"{sub.name}.{suffix}"] = arr
-            # replace with reconstruction so later layers see quant error
-            new_lin[sub.name.split(".")[-1]] = from_dense(recon)
-        import dataclasses as dc
-        lw2 = dc.replace(
-            lw,
-            attn=dc.replace(lw.attn, q=new_lin["q_proj"],
-                            k=new_lin["k_proj"], v=new_lin["v_proj"],
-                            o=new_lin["o_proj"]),
-            mlp=dc.replace(lw.mlp, gate=new_lin["gate_proj"],
-                           up=new_lin["up_proj"],
-                           down=new_lin["down_proj"]))
-        new_layers.append(lw2)
-        hs, _ = _layer_forward_capture(lw2, st, hs, sin, cos)
-        progress(f" -- quantized layer {l + 1}/{st.num_layers}")
+        for sub in _layer_subs(cfg, lw, l):
+            quantized_prefixes.add(sub.name)
+    if quantize_head:
+        quantized_prefixes.add(cfg.arch.lm_prefix + cfg.arch.key_head)
 
-    # ---- head + non-quantized tensors; compile (compile.py analog) ----
+    out_tensors: dict[str, np.ndarray] = {}
+    dtypes: dict[str, str] = {}
     tfm = cfg.tensor_file_map
-    dtypes = {}
     for key in tfm.keys():
-        if ".layers." not in key or "layernorm" in key:
-            out_tensors[key] = tfm.get_tensor(key).copy()
-            if tfm.get_dtype(key) == "BF16":
-                dtypes[key] = "BF16"
+        prefix = key.rsplit(".", 1)[0]
+        if prefix in quantized_prefixes and not key.endswith(".bias"):
+            continue                       # replaced by packed tensors
+        out_tensors[key] = tfm.get_tensor(key).copy()
+        if tfm.get_dtype(key) == "BF16":
+            dtypes[key] = "BF16"
+    for fn in sorted(os.listdir(quant_dir)):
+        stf = STFile(os.path.join(quant_dir, fn))
+        for key in stf.keys():
+            out_tensors[key] = stf.get_tensor(key).copy()
+        stf.close()
 
     write_safetensors(os.path.join(out_dir, "model.safetensors"),
                       out_tensors, dtypes=dtypes)
@@ -365,7 +615,28 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
         if fn.endswith(".json") or fn.startswith("tokenizer"):
             shutil.copy(os.path.join(model_dir, fn),
                         os.path.join(out_dir, fn))
-    with open(job_path, "w") as f:
-        json.dump({"stage": "done", "bits": bits}, f)
+    # stamp quantization metadata (reference compile.py writes config keys)
+    cfg_path = os.path.join(out_dir, "config.json")
+    with open(cfg_path) as f:
+        out_cfg = json.load(f)
+    out_cfg["quantization_config"] = {
+        "quant_method": "exl2", "bits": bits,
+        "head_bits": head_bits if quantize_head else 16,
+        "calibration": {"rows": cal_rows, "length": cal_len}}
+    with open(cfg_path, "w") as f:
+        json.dump(out_cfg, f, indent=1)
+    job["stage"] = "done"
+    save_job()
     progress(f" -- compiled -> {out_dir}")
     return out_dir
+
+
+def _bias_of(lin):
+    b = getattr(lin, "bias", None)
+    return None if b is None else np.asarray(b, np.float32)
+
+
+def _set_layer(layers: tuple, l: int, lw2) -> tuple:
+    out = list(layers)
+    out[l] = lw2
+    return tuple(out)

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import dataclasses
 
-__all__ = ["QParams", "qparams_attn", "qparams_mlp", "qparams_head"]
+__all__ = ["QParams", "qparams_attn", "qparams_mlp", "qparams_head",
+           "qparams_head_for"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,3 +100,21 @@ def qparams_head() -> list[QParams]:
         QParams(32, (6,), (1.0,)),
         QParams(32, (8,), (1.0,)),
     ]
+
+
+# head_bits -> QParams (reference qparams_headoptions, qparams.py:338-347)
+_HEAD_OPTIONS = {
+    2: QParams(32, (4, 2), (0.3, 0.7)),
+    3: QParams(32, (4, 3), (0.15, 0.85)),
+    4: QParams(32, (6, 4), (0.15, 0.85)),
+    5: QParams(128, (6, 5), (0.15, 0.85)),
+    6: QParams(128, (8, 6), (0.15, 0.85)),
+    8: QParams(128, (8,), (1.0,)),
+}
+
+
+def qparams_head_for(head_bits: int | None) -> QParams | None:
+    """QParams for lm_head at the given width; None keeps it fp16."""
+    if head_bits is None or head_bits >= 16:
+        return None
+    return _HEAD_OPTIONS[head_bits]

@@ -76,9 +76,15 @@ class DynamicJob:
                  filters: list | None = None,
                  token_healing: bool = False,
                  banned_strings: list[str] | None = None,
-                 negative_prompt_ids=None):
+                 negative_prompt_ids=None,
+                 embeddings: list | None = None):
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         self.prompt_ids = ids
+        # multimodal embeddings (dynamic_embeddings.py analog): prompt ids
+        # >= 1e9 resolve into these tensors during prefill
+        self.embeddings = embeddings or []
+        self.mrope_offset = 0          # decode rope offset (MRoPE models)
+        self.mrope_rows = None         # (sin, cos) np rows for the prompt
         self.max_new_tokens = max_new_tokens
         self.settings = settings or Settings()
         self.identifier = identifier
@@ -139,14 +145,19 @@ class DynamicJob:
     def prompt_len(self) -> int:
         return len(self.prompt_ids)
 
-    def pages_needed(self, page_size: int) -> int:
-        total = self.prompt_len + self.max_new_tokens
+    def pages_needed(self, page_size: int, margin: int = 0) -> int:
+        """Pages for prompt + generation. `margin` reserves room for
+        speculative-verify KV writes at kv_pos..kv_pos+d, which may run
+        past max_new_tokens before acceptance clamps them (otherwise the
+        clamped cache append would wrap into the job's last page and
+        corrupt valid context)."""
+        total = self.prompt_len + self.max_new_tokens + margin
         return -(-total // page_size)
 
-    def pages2_needed(self, page_size: int) -> int:
+    def pages2_needed(self, page_size: int, margin: int = 0) -> int:
         if not self.is_cfg:
             return 0
-        total = len(self.negative_ids) + self.max_new_tokens
+        total = len(self.negative_ids) + self.max_new_tokens + margin
         return -(-total // page_size)
 
 
@@ -377,8 +388,10 @@ class DynamicGenerator:
         return job
 
     def _try_start(self, job: DynamicJob) -> bool:
-        needed = job.pages_needed(self.page_size)
-        needed2 = job.pages2_needed(self.page_size)
+        margin = self.num_draft_tokens \
+            if (self.draft_model is not None or self.use_ngram_draft) else 0
+        needed = job.pages_needed(self.page_size, margin)
+        needed2 = job.pages2_needed(self.page_size, margin)
         if len(self.free_slots) < (2 if job.is_cfg else 1):
             return False
 
@@ -477,12 +490,36 @@ class DynamicGenerator:
 
         # upload the prompt into the device history once (length bucketed
         # to bound compile count; pad garbage is always overwritten by the
-        # decode step before it can be read)
+        # decode step before it can be read). MM token ids (>= 1e9) are
+        # masked to 0 — the history only feeds penalties/DRY, which ignore
+        # image rows like the reference's CPU sampler does.
         n = min(_bucket(job.prompt_len, 16), self.max_seq_len)
         padded = np.zeros((n,), np.int32)
-        padded[:job.prompt_len] = job.prompt_ids
+        padded[:job.prompt_len] = np.where(
+            job.prompt_ids >= 1_000_000_000, 0, job.prompt_ids)
         self.hist = self._write_hist(self.hist, job.slot, 0, padded)
+        self._prepare_mrope(job)
         return True
+
+    def _prepare_mrope(self, job: DynamicJob):
+        """Precompute MRoPE prompt rope rows + decode offset
+        (mrope.py:38-75 analog)."""
+        cfg = getattr(self.model, "config", None)
+        if (cfg is None or not getattr(cfg.arch, "mrope", False)
+                or not cfg.mrope_section):
+            return
+        from exllamav2_tpu.ops.mrope import gen_mrope_pos_ids, mrope_rows
+        from exllamav2_tpu.ops.rope import rope_params
+        spans = [e.get_vision_token_range() for e in job.embeddings]
+        grids = [e.thw_grid for e in job.embeddings]
+        merge = cfg.vision_spatial_merge_size if job.embeddings else 1
+        pos, nxt = gen_mrope_pos_ids(
+            job.prompt_ids.astype(np.int64), merge, spans, grids,
+            job.prompt_len)
+        inv, scale = rope_params(cfg)
+        sin, cos = mrope_rows(pos, inv, cfg.mrope_section, scale)
+        job.mrope_rows = (sin, cos)
+        job.mrope_offset = int(nxt - job.prompt_len)
 
     @staticmethod
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -506,6 +543,43 @@ class DynamicGenerator:
             _, cache = model_forward_paged(
                 w, st, ids, cache, block_table, cache_seqlen,
                 last_token_only=True)
+            return cache
+
+        self._compiled[key] = fn
+        return fn
+
+    def _chunk_embeds(self, job: DynamicJob, chunk_ids: np.ndarray):
+        """Embedding rows for a prefill chunk with MM tokens
+        (embedding.py:119-186 indexed merge): text ids gather from the
+        embed table, ids >= 1e9 gather from the job's MMEmbedding rows."""
+        emb = self.model.weights.embed
+        ids = np.asarray(chunk_ids)
+        text_ids = np.where(ids >= 1_000_000_000, 0, ids)
+        x = jnp.take(emb, jnp.asarray(text_ids), axis=0)
+        for e in job.embeddings:
+            sel = (ids >= e.first_index) & (ids < e.first_index + e.length)
+            if sel.any():
+                rows = e.embeddings[
+                    jnp.asarray(ids[sel] - e.first_index)]
+                x = x.at[jnp.asarray(np.nonzero(sel)[0])].set(
+                    rows.astype(x.dtype))
+        return x[None]
+
+    def _get_prefill_mm_fn(self, t_bucket: int, p_bucket: int,
+                           with_rope: bool):
+        key = ("prefill_mm", t_bucket, p_bucket, with_rope)
+        if key in self._compiled:
+            return self._compiled[key]
+        st = self.model.static
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fn(w, cache, embeds, block_table, cache_seqlen,
+               sin_rows=None, cos_rows=None):
+            rope = (sin_rows, cos_rows) if with_rope else None
+            ids = jnp.zeros(embeds.shape[:2], jnp.int32)
+            _, cache = model_forward_paged(
+                w, st, ids, cache, block_table, cache_seqlen,
+                last_token_only=True, input_embeds=embeds, rope_rows=rope)
             return cache
 
         self._compiled[key] = fn
@@ -599,12 +673,12 @@ class DynamicGenerator:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def fn(w, cache, hist, block_tables, cache_seqlens, slots,
-               params, rkey, packed_mask=None):
+               params, rkey, pos_off, packed_mask=None):
             from exllamav2_tpu.ops.sampling import unpack_mask, apply_dry
             ids = hist[slots, cache_seqlens][:, None]          # [B, 1]
             logits, cache = model_forward_paged(
                 w, st, ids, cache, block_tables, cache_seqlens,
-                last_token_only=True)
+                last_token_only=True, pos_offsets=pos_off)
             lg = logits[:, -1, :]
             lg = apply_penalties(lg, hist[slots], cache_seqlens + 1, params)
             if use_dry:
@@ -669,6 +743,7 @@ class DynamicGenerator:
             # per-step logit masks the verify path doesn't model
             constrained = any(
                 j.filters or j.banned_strings or j.blocked_tokens
+                or j.embeddings
                 or (j.healing_token is not None and j.new_tokens == 0)
                 for j in grp)
             if spec and not constrained:
@@ -713,10 +788,36 @@ class DynamicGenerator:
         bt = np.zeros((1, p_bucket), np.int32)
         for i, p in enumerate(pages):
             bt[0, i] = p.index
-        fn = self._get_prefill_fn(t_bucket, p_bucket)
         pos_a = np.asarray([pos], np.int32)
-        self.cache = fn(self.model.weights, self.cache, chunk, bt, pos_a)
-        if self.draft_model is not None and not stream2:
+        mm = (not stream2) and (
+            bool(job.embeddings) and bool(
+                (np.asarray(ids[pos:end]) >= 1_000_000_000).any())
+            or job.mrope_rows is not None)
+        if mm:
+            embeds = self._chunk_embeds(job, chunk[0])
+            rope = None
+            if job.mrope_rows is not None:
+                sin, cos = job.mrope_rows
+                rot = sin.shape[-1]
+                sr = np.zeros((1, t_bucket, rot), np.float32)
+                cr = np.ones((1, t_bucket, rot), np.float32)
+                sr[0, :t] = sin[pos:end]
+                cr[0, :t] = cos[pos:end]
+                rope = (jnp.asarray(sr), jnp.asarray(cr))
+            fn = self._get_prefill_mm_fn(t_bucket, p_bucket,
+                                         rope is not None)
+            if rope is not None:
+                self.cache = fn(self.model.weights, self.cache, embeds,
+                                bt, pos_a, *rope)
+            else:
+                self.cache = fn(self.model.weights, self.cache, embeds,
+                                bt, pos_a)
+        else:
+            fn = self._get_prefill_fn(t_bucket, p_bucket)
+            self.cache = fn(self.model.weights, self.cache, chunk, bt,
+                            pos_a)
+        if self.draft_model is not None and not stream2 \
+                and not job.embeddings:
             dfn = self._get_draft_prefill_fn(t_bucket, p_bucket)
             self.draft_cache = dfn(
                 self.draft_model.weights, self.draft_cache, chunk, bt,
@@ -748,6 +849,47 @@ class DynamicGenerator:
                     page.prev_hash = prev or None
                     page.tokens = np.asarray(chunk, np.int32).copy()
                     self.referenced[h] = page
+
+    def _rewind_pages(self, job: DynamicJob):
+        """After a banned-string rewind, fix up pages whose fill dropped.
+
+        A page published as full (phash in referenced/unreferenced) may no
+        longer match its hash once kv_pos moves back across its boundary:
+        unpublish it so dedup can't attach corrupt KV. If another job
+        already shares it, give this job a private copy instead (the shared
+        KV must not be overwritten by the re-generation).
+        """
+        for i, page in enumerate(job.pages):
+            fill = min(max(job.kv_pos - i * self.page_size, 0),
+                       self.page_size)
+            if page.phash is not None and fill < self.page_size:
+                if page.ref_count > 1:
+                    fresh = self._take_free_page()
+                    # without a free page keep the shared page read-only by
+                    # clamping the rewind to its boundary
+                    if fresh is None:
+                        job.kv_pos = max(job.kv_pos,
+                                         (i + 1) * self.page_size)
+                        continue
+                    src = np.asarray([page.index], np.int32)
+                    dst = np.asarray([fresh.index], np.int32)
+                    self.cache = self.cache.copy_pages(src, dst)
+                    if self.draft_cache is not None:
+                        self.draft_cache = self.draft_cache.copy_pages(
+                            src, dst)
+                    page.ref_count -= 1
+                    fresh.ref_count = 1
+                    fresh.kv_position = fill
+                    self._touch(fresh)
+                    job.pages[i] = fresh
+                    continue
+                self.referenced.pop(page.phash, None)
+                self.unreferenced.pop(page.phash, None)
+                page.phash = None
+                page.prev_hash = None
+                page.tokens = None
+            if fill < page.kv_position:
+                page.kv_position = fill
 
     def _decode(self, jobs: list[DynamicJob], results: list[dict]):
         b = len(jobs)
@@ -784,10 +926,13 @@ class DynamicGenerator:
 
         use_dry = any(j.settings.dry_multiplier > 0 for j in jobs)
         params = stack_settings(sett, mus)
+        pos_off = np.zeros((b_bucket,), np.int32)
+        for i, job in enumerate(jobs):
+            pos_off[i] = job.mrope_offset
         self._key, sub = jax.random.split(self._key)
         fn = self._get_decode_fn(b_bucket, p_bucket, any_masked, use_dry)
         args = (self.model.weights, self.cache, self.hist,
-                bts, seqlens, slots, params, sub)
+                bts, seqlens, slots, params, sub, pos_off)
         if any_masked:
             self.cache, self.hist, toks, probs, mu = fn(*args, packed)
         else:
@@ -1042,6 +1187,7 @@ class DynamicGenerator:
                 job.new_tokens = ck["new_tokens"]
                 job.held_text = ck["held_text"]
                 job.checkpoint = None
+                self._rewind_pages(job)
                 if first_tok is not None:
                     job.blocked_tokens.add(first_tok)
                 if self.ngram is not None:
@@ -1130,19 +1276,54 @@ class DynamicGenerator:
     # convenience API (generate, dynamic.py:541-732)
     # ------------------------------------------------------------------
 
+    def encode_with_embeddings(self, text: str, embeddings: list,
+                               add_bos: bool = False) -> np.ndarray:
+        """Tokenize text containing MMEmbedding text aliases, splicing in
+        the embedding token-id ranges (dynamic.py:612-648 analog)."""
+        segments = [(None, text)]
+        for e in embeddings:
+            out = []
+            for emb, seg in segments:
+                if emb is not None:
+                    out.append((emb, seg))
+                    continue
+                parts = seg.split(e.text_alias)
+                for i, part in enumerate(parts):
+                    if i:
+                        out.append((e, None))
+                    out.append((None, part))
+            segments = out
+        ids = []
+        first = True
+        for emb, seg in segments:
+            if emb is not None:
+                ids.append(emb.get_ids_array().astype(np.int64))
+            elif seg:
+                ids.append(self.tokenizer.encode(
+                    seg, add_bos=add_bos and first).astype(np.int64))
+            first = False
+        return np.concatenate(ids).astype(np.int32) if ids else \
+            np.zeros(0, np.int32)
+
     def generate(self, prompt, max_new_tokens: int = 128,
                  settings: Settings | None = None, seed: int = 0,
                  stop_conditions=None, add_bos: bool = False,
-                 completion_only: bool = True):
+                 completion_only: bool = True, embeddings: list | None = None):
         prompts = prompt if isinstance(prompt, list) else [prompt]
         jobs = []
         for i, p in enumerate(prompts):
-            ids = self.tokenizer.encode(p, add_bos=add_bos) \
-                if isinstance(p, str) else np.asarray(p, np.int32)
+            if embeddings and isinstance(p, str):
+                ids = self.encode_with_embeddings(p, embeddings,
+                                                  add_bos=add_bos)
+            elif isinstance(p, str):
+                ids = self.tokenizer.encode(p, add_bos=add_bos)
+            else:
+                ids = np.asarray(p, np.int32)
             jobs.append(self.enqueue(DynamicJob(
                 ids, max_new_tokens=max_new_tokens,
                 settings=settings, seed=seed + i,
-                stop_conditions=stop_conditions, identifier=i)))
+                stop_conditions=stop_conditions, identifier=i,
+                embeddings=embeddings)))
         completions = {id(j): "" for j in jobs}
         pending = {id(j) for j in jobs}
         guard = 0

@@ -30,6 +30,9 @@ __all__ = ["norm_apply", "attn_forward", "mlp_forward", "moe_forward",
 
 _NEG = -1e30
 
+# test hook: force the cond-gated sparse MoE path off-TPU
+_FORCE_SPARSE_MOE = [False]
+
 
 def _fz(st: StaticModel):
     """fused-kernel policy arg for linear_apply (None = auto by row count)."""
@@ -119,6 +122,8 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
                                attn_limit, float(scale))
         out = out.astype(jnp.bfloat16).reshape(b, hq * hd)
         out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, 1, -1)
+        if aw.norm_post is not None:
+            out = norm_apply(out, aw.norm_post, st)
         return out, cache
 
     if attn_limit is not None and attn_limit < ck.shape[2]:
@@ -147,6 +152,8 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
                      preferred_element_type=jnp.float32)
     out = out.astype(jnp.bfloat16).reshape(b * t, hq * hd)
     out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, t, -1)
+    if aw.norm_post is not None:
+        out = norm_apply(out, aw.norm_post, st)
     return out, cache
 
 
@@ -168,40 +175,73 @@ def attn_forward_paged(x: jax.Array, aw: AttnWeights, st: StaticModel,
                           allow_kernel=st.fused_matmul)
     out = out.astype(jnp.bfloat16).reshape(b * t, hq * hd)
     out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, t, -1)
+    if aw.norm_post is not None:
+        out = norm_apply(out, aw.norm_post, st)
     return out, cache
 
 
 def model_forward_paged(w: ModelWeights, st: StaticModel, ids: jax.Array,
                         cache, block_table: jax.Array,
                         cache_seqlens: jax.Array,
-                        last_token_only: bool = False):
+                        last_token_only: bool = False,
+                        input_embeds: jax.Array | None = None,
+                        rope_rows=None,
+                        pos_offsets: jax.Array | None = None):
     """Paged-cache full forward: ids [B, T] + per-sequence block tables.
 
     The serving-path analog of forward_chunk with PagedParams
-    (model.py:938-1054 + attn_params.py:220-316)."""
+    (model.py:938-1054 + attn_params.py:220-316).
+
+    Multimodal hooks (embedding.py:119-186 / mrope.py analogs):
+    input_embeds [B, T, d] replaces the token-embedding lookup (prefill
+    chunks containing image rows); rope_rows = (sin, cos) [B, T, rot/2]
+    overrides the position gather (MRoPE prefill); pos_offsets [B] adds a
+    per-sequence offset into the rope table (MRoPE decode — after the MM
+    context all three axes advance in lockstep).
+    """
     b, t = ids.shape
-    x = jnp.take(w.embed, ids, axis=0)
+    if input_embeds is not None:
+        x = input_embeds
+    else:
+        x = jnp.take(w.embed, ids, axis=0)
     if st.normalize_embeddings:
         x = x.astype(jnp.float32) * (st.hidden_size ** 0.5)
     if st.embedding_multiplier != 1.0:
         x = x.astype(jnp.float32) * st.embedding_multiplier
     x = x.astype(jnp.float32 if st.residual_fp32 else jnp.bfloat16)
 
+    rope_base = cache_seqlens
+    if pos_offsets is not None:
+        rope_base = cache_seqlens + pos_offsets
+
+    if st.learned_pos_emb and w.pos_emb is not None:
+        pos0 = rope_base[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+        x = x + jnp.take(w.pos_emb, pos0, axis=0).astype(x.dtype)
+
     # per-sequence positions differ -> gather per-batch rope rows
-    pos = cache_seqlens[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
-    sin = jnp.take(w.sin, pos, axis=0)        # [B, T, rot/2]
-    cos = jnp.take(w.cos, pos, axis=0)
+    pos = rope_base[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    if rope_rows is not None:
+        sin, cos = rope_rows
+    else:
+        sin = jnp.take(w.sin, pos, axis=0)    # [B, T, rot/2]
+        cos = jnp.take(w.cos, pos, axis=0)
+    sin_a = jnp.take(w.sin_alt, pos, axis=0) if w.sin_alt is not None else sin
+    cos_a = jnp.take(w.cos_alt, pos, axis=0) if w.cos_alt is not None else cos
 
     for layer in range(st.num_layers):
         lw = w.layers[layer]
+        alt = st.layers[layer].alt_rope if st.layers else False
         attn_out, cache = attn_forward_paged(
-            x, lw.attn, st, layer, sin, cos, cache, block_table,
-            cache_seqlens)
-        x = x + attn_out
+            x, lw.attn, st, layer, sin_a if alt else sin,
+            cos_a if alt else cos, cache, block_table, cache_seqlens)
+        if st.parallel_blocks:
+            x = x + attn_out + mlp_forward(x, lw.mlp, st)
+            continue
+        x = _residual_add(x, attn_out, st)
         if isinstance(lw.mlp, MoEWeights):
-            x = x + moe_forward(x, lw.mlp, st)
+            x = _residual_add(x, moe_forward(x, lw.mlp, st), st)
         else:
-            x = x + mlp_forward(x, lw.mlp, st)
+            x = _residual_add(x, mlp_forward(x, lw.mlp, st), st)
 
     if last_token_only:
         x = x[:, -1:, :]
@@ -240,19 +280,26 @@ def mlp_forward(x: jax.Array, mw: MLPWeights, st: StaticModel) -> jax.Array:
     else:
         inter = _act(up, st.mlp_act)
     out = linear_apply(inter.astype(jnp.bfloat16), mw.down, fused=_fz(st))
-    return out.reshape(b, t, -1)
+    out = out.reshape(b, t, -1)
+    if mw.norm_post is not None:
+        out = norm_apply(out, mw.norm_post, st)
+    return out
 
 
 def moe_forward(x: jax.Array, mw: MoEWeights, st: StaticModel) -> jax.Array:
     """Block-sparse MoE (moe_mlp.py:282-317 analog).
 
-    TPU-friendly dense formulation: every expert runs on all tokens and
-    results are mixed by the (mostly-zero) routing weights — on-device this
-    is a batched matmul that the MXU eats, with no gather/scatter. An
-    expert-parallel ragged dispatch replaces this under sharding.
+    Decode (few tokens): each expert is wrapped in a lax.cond on "any
+    token routed here", so unrouted experts stream no weights and burn no
+    FLOPs — decode cost is proportional to top-k like the reference's
+    per-expert loop (moe_mlp.py:291-317). Prefill (many tokens): all
+    experts run on all tokens and the (mostly-zero) routing weights mix
+    the outputs — a dense batched-matmul formulation the MXU eats with no
+    gather/scatter (every expert is busy anyway at prefill batch sizes).
     """
     b, t, d = x.shape
-    hidden = norm_apply(x, mw.norm, st).reshape(b * t, d)
+    bt = b * t
+    hidden = norm_apply(x, mw.norm, st).reshape(bt, d)
     router_logits = linear_apply(hidden, mw.router, fused=_fz(st))          # [BT, E]
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     topw, topi = jax.lax.top_k(probs, st.num_experts_per_tok)
@@ -262,16 +309,40 @@ def moe_forward(x: jax.Array, mw: MoEWeights, st: StaticModel) -> jax.Array:
     mix = jnp.zeros_like(probs).at[
         jnp.arange(probs.shape[0])[:, None], topi].set(topw)
 
+    # cond-gating pays off where weight streaming dominates (real TPU);
+    # on the CPU interpreter it only doubles compile work
+    sparse = bt <= 32 and (jax.default_backend() == "tpu"
+                           or _FORCE_SPARSE_MOE[0])
     out = None
     hb = hidden.astype(jnp.bfloat16)
+
+    def expert(e):
+        def run(_):
+            gate = linear_apply(hb, mw.w1[e], fused=_fz(st))
+            up = linear_apply(hb, mw.w3[e], fused=_fz(st))
+            inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
+            y = linear_apply(inter, mw.w2[e], fused=_fz(st))               # [BT, d]
+            return y * mix[:, e:e + 1]
+
+        if not sparse:
+            return run(None)
+        routed = jnp.any(mix[:, e] > 0)
+        return jax.lax.cond(
+            routed, run, lambda _: jnp.zeros((bt, d), jnp.float32), None)
+
     for e in range(st.num_experts):
-        gate = linear_apply(hb, mw.w1[e], fused=_fz(st))
-        up = linear_apply(hb, mw.w3[e], fused=_fz(st))
-        inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
-        y = linear_apply(inter, mw.w2[e], fused=_fz(st))                    # [BT, d]
-        y = y * mix[:, e:e + 1]
+        y = expert(e)
         out = y if out is None else out + y
-    return out.reshape(b, t, -1)
+    out = out.reshape(b, t, -1)
+    if mw.norm_post is not None:
+        out = norm_apply(out, mw.norm_post, st)
+    return out
+
+
+def _residual_add(x, out, st):
+    if st.scale_depth != 1.0:
+        out = out * st.scale_depth
+    return x + out
 
 
 def _block_forward(x, layer_w, st, layer, sin, cos, cache, past_len,
@@ -287,11 +358,11 @@ def _block_forward(x, layer_w, st, layer, sin, cos, cache, past_len,
         return x + attn_out + mlp_out, cache
     attn_out, cache = attn_forward(
         x, layer_w.attn, st, layer, sin, cos, cache, past_len, attn_limit)
-    x = x + attn_out
+    x = _residual_add(x, attn_out, st)
     if isinstance(layer_w.mlp, MoEWeights):
-        x = x + moe_forward(x, layer_w.mlp, st)
+        x = _residual_add(x, moe_forward(x, layer_w.mlp, st), st)
     else:
-        x = x + mlp_forward(x, layer_w.mlp, st)
+        x = _residual_add(x, mlp_forward(x, layer_w.mlp, st), st)
     return x, cache
 
 
@@ -314,13 +385,18 @@ def model_forward(w: ModelWeights, st: StaticModel, ids: jax.Array,
     x = x.astype(jnp.float32 if st.residual_fp32 else jnp.bfloat16)
 
     pos = jnp.asarray(past_len, jnp.int32) + jnp.arange(t, dtype=jnp.int32)
+    if st.learned_pos_emb and w.pos_emb is not None:
+        x = x + jnp.take(w.pos_emb, pos, axis=0)[None].astype(x.dtype)
     sin = jnp.take(w.sin, pos, axis=0)                       # [T, rot/2]
     cos = jnp.take(w.cos, pos, axis=0)
+    sin_a = jnp.take(w.sin_alt, pos, axis=0) if w.sin_alt is not None else sin
+    cos_a = jnp.take(w.cos_alt, pos, axis=0) if w.cos_alt is not None else cos
 
     for layer in range(st.num_layers):
+        alt = st.layers[layer].alt_rope if st.layers else False
         x, cache = _block_forward(
-            x, w.layers[layer], st, layer, sin, cos, cache, past_len,
-            attn_limit)
+            x, w.layers[layer], st, layer, sin_a if alt else sin,
+            cos_a if alt else cos, cache, past_len, attn_limit)
 
     if last_token_only:
         x = x[:, -1:, :]

@@ -11,11 +11,12 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from exllamav2_tpu.architecture import NormType
+from exllamav2_tpu.architecture import NormType, RopeStyle
 from exllamav2_tpu.config import ModelConfig
 from exllamav2_tpu.quant import formats as F
 from exllamav2_tpu.quant.qtensor import (
-    QuantLinear, DenseLinear, from_exl2, from_gptq, from_dense)
+    QuantLinear, DenseLinear, from_exl2, from_gptq, from_dense,
+    slice_columns, gather_columns)
 from exllamav2_tpu.stloader import TensorFileMap, read_weight_f32
 from exllamav2_tpu.models.modules import (
     NormWeights, AttnWeights, MLPWeights, MoEWeights, LayerWeights,
@@ -25,11 +26,29 @@ from exllamav2_tpu.ops.rope import build_sincos
 __all__ = ["load_model", "load_linear", "build_static"]
 
 
+def _resolve(tfm: TensorFileMap, key: str) -> str:
+    """Resolve '|'-separated key alternatives against the checkpoint
+    (the analog of the reference's alternative key lists,
+    architecture.py:11-12 layer_keys_yi_norms)."""
+    if "|" not in key:
+        return key
+    cands = key.split("|")
+    for cand in cands:
+        if (cand + ".weight" in tfm or cand + ".q_weight" in tfm
+                or cand + ".qweight" in tfm):
+            return cand
+    return cands[0]
+
+
 def load_linear(tfm: TensorFileMap, key: str,
                 transpose_dense: bool = True) -> QuantLinear | DenseLinear:
     """Load one linear layer by key prefix, auto-detecting the tensor set
     (module.py:101-151): EXL2 '.q_weight' / GPTQ '.qweight' / FP16 '.weight'.
+
+    transpose_dense=False loads Conv1D-style [in, out] weights verbatim
+    (GPT2, reference architecture.py orig_weights_transposed).
     """
+    key = _resolve(tfm, key)
     bias = None
     if key + ".bias" in tfm:
         bias = read_weight_f32(tfm, key + ".bias")
@@ -79,28 +98,48 @@ def load_linear(tfm: TensorFileMap, key: str,
 
 
 def load_norm(tfm: TensorFileMap, key: str) -> NormWeights:
+    key = _resolve(tfm, key)
     w = jnp.asarray(read_weight_f32(tfm, key + ".weight"))
     b = jnp.asarray(read_weight_f32(tfm, key + ".bias")) \
         if key + ".bias" in tfm else None
     return NormWeights(weight=w, bias=b)
 
 
-def build_static(cfg: ModelConfig) -> StaticModel:
+def _swa_layers(cfg: ModelConfig) -> list[int]:
+    """Per-layer sliding window size (reference model.py:111-121)."""
     arch = cfg.arch
-    per_layer = []
+    out = []
+    pattern = cfg.sliding_window_pattern
     for l in range(cfg.num_hidden_layers):
         sw = 0
         if cfg.sliding_window:
-            if arch.sliding_window_pattern > 1:
-                # alternating SWA (gemma2): odd layers full, even SWA
-                sw = cfg.sliding_window \
-                    if (l % arch.sliding_window_pattern) == 0 else 0
-            else:
+            if pattern > 1:
+                sw = cfg.sliding_window if (l + 1) % pattern != 0 else 0
+            elif arch.sliding_window_pattern or cfg.raw.get(
+                    "sliding_window_pattern"):
                 sw = cfg.sliding_window
-        per_layer.append(LayerStatic(sliding_window=sw))
+            else:
+                sw = cfg.sliding_window       # uniform SWA (mistral-style)
+    # NB: uniform-SWA archs (Mistral) window every layer; patterned archs
+    # (Gemma2/3, Cohere2) window all but each P-th layer.
+        out.append(sw)
+    return out
+
+
+def build_static(cfg: ModelConfig) -> StaticModel:
+    arch = cfg.arch
+    swa = _swa_layers(cfg)
+    has_alt_rope = arch.sliding_rope_theta is not None and any(swa)
+    per_layer = [
+        LayerStatic(sliding_window=swa[l],
+                    alt_rope=bool(has_alt_rope and swa[l]))
+        for l in range(cfg.num_hidden_layers)
+    ]
     attn_scale = None
     if cfg.attention_multiplier is not None:
         attn_scale = float(cfg.attention_multiplier)
+    rope_style = {RopeStyle.NEOX: "neox", RopeStyle.GPTJ: "gptj",
+                  RopeStyle.NONE: "none"}[arch.rope_style]
     return StaticModel(
         num_layers=cfg.num_hidden_layers,
         num_heads=cfg.num_attention_heads,
@@ -111,7 +150,7 @@ def build_static(cfg: ModelConfig) -> StaticModel:
         norm_eps=cfg.norm_eps,
         norm_type="rms" if arch.norm == NormType.RMS else "layernorm",
         norm_constant_bias=arch.norm_constant_bias,
-        rope_style="neox",
+        rope_style=rope_style,
         mlp_act=arch.mlp_act,
         mlp_gated=arch.mlp_gated,
         use_qk_norm=cfg.use_qk_norm,
@@ -123,6 +162,8 @@ def build_static(cfg: ModelConfig) -> StaticModel:
         logit_scale=cfg.logit_scale,
         residual_fp32=arch.residual_stream_fp32,
         parallel_blocks=arch.parallel_decoder_blocks,
+        scale_depth=cfg.scale_depth,
+        learned_pos_emb=arch.learned_pos_emb,
         layers=tuple(per_layer),
         num_experts=cfg.num_experts,
         num_experts_per_tok=cfg.num_experts_per_tok,
@@ -130,79 +171,142 @@ def build_static(cfg: ModelConfig) -> StaticModel:
     )
 
 
+def _split_fused_qkv(fused, cfg: ModelConfig):
+    """Slice a packed qkv tensor into q/k/v (module.py:154-199).
+
+    Standard packing: [q | k | v] contiguous columns. InternLM2 altpack
+    groups columns per kv-head: [q0..q(g-1) k v] x kv_heads — resolved
+    with a column gather.
+    """
+    hd = cfg.head_dim
+    nq = cfg.num_attention_heads * hd
+    nkv = cfg.num_key_value_heads * hd
+    if not cfg.arch.fused_qkv_altpack:
+        return (slice_columns(fused, 0, nq),
+                slice_columns(fused, nq, nq + nkv),
+                slice_columns(fused, nq + nkv, nq + 2 * nkv))
+    g = cfg.num_attention_heads // cfg.num_key_value_heads
+    idx = np.arange(nq + 2 * nkv).reshape(
+        cfg.num_key_value_heads, (g + 2) * hd)
+    q_idx = idx[:, :g * hd].reshape(-1)
+    k_idx = idx[:, g * hd:(g + 1) * hd].reshape(-1)
+    v_idx = idx[:, (g + 1) * hd:].reshape(-1)
+    return (gather_columns(fused, q_idx), gather_columns(fused, k_idx),
+            gather_columns(fused, v_idx))
+
+
 def load_model(cfg: ModelConfig) -> tuple[ModelWeights, StaticModel]:
     """Build the full weight pytree from a prepared config."""
     tfm = cfg.tensor_file_map
     arch = cfg.arch
     st = build_static(cfg)
+    pre = arch.lm_prefix                       # "language_model." etc.
+    transpose_dense = not arch.orig_weights_transposed
 
-    embed = read_weight_f32(tfm, arch.key_embedding + ".weight")
+    embed = read_weight_f32(tfm, pre + _resolve(
+        tfm, arch.key_embedding) + ".weight")
     embed_j = jnp.asarray(embed, dtype=jnp.bfloat16)
+
+    def lin(key):
+        return load_linear(tfm, pre + key, transpose_dense=transpose_dense)
+
+    def _has(key):
+        key = _resolve(tfm, pre + key)
+        return (key + ".weight" in tfm or key + ".q_weight" in tfm
+                or key + ".qweight" in tfm)
 
     layers = []
     for l in range(cfg.num_hidden_layers):
-        k = lambda pat: pat.format(l=l)
-        if arch.fused_qkv:
-            # Phi3-style packed qkv_proj, sliced into q/k/v
-            # (module.py:154-199 fused-tensor slicing)
-            from exllamav2_tpu.quant.qtensor import slice_columns
-            fused = load_linear(tfm, k(arch.key_fused_qkv))
-            nq = cfg.num_attention_heads * cfg.head_dim
-            nkv = cfg.num_key_value_heads * cfg.head_dim
-            q_lin = slice_columns(fused, 0, nq)
-            k_lin = slice_columns(fused, nq, nq + nkv)
-            v_lin = slice_columns(fused, nq + nkv, nq + 2 * nkv)
+        k = lambda pat: pre + pat.format(l=l)
+        # EXL2-converted checkpoints store fused archs unfused (each
+        # submodule packs its own tensor set) — prefer unfused keys
+        if arch.fused_qkv and not _has(arch.key_attn_q.format(l=l)):
+            fused = lin(arch.key_fused_qkv.format(l=l))
+            q_lin, k_lin, v_lin = _split_fused_qkv(fused, cfg)
         else:
-            q_lin = load_linear(tfm, k(arch.key_attn_q))
-            k_lin = load_linear(tfm, k(arch.key_attn_k))
-            v_lin = load_linear(tfm, k(arch.key_attn_v))
+            q_lin = lin(arch.key_attn_q.format(l=l))
+            k_lin = lin(arch.key_attn_k.format(l=l))
+            v_lin = lin(arch.key_attn_v.format(l=l))
         attn = AttnWeights(
             norm=load_norm(tfm, k(arch.key_norm_1)),
             q=q_lin, k=k_lin, v=v_lin,
-            o=load_linear(tfm, k(arch.key_attn_o)),
+            o=lin(arch.key_attn_o.format(l=l)),
             q_norm=load_norm(tfm, k(arch.key_attn_q_norm))
             if arch.key_attn_q_norm and cfg.use_qk_norm else None,
             k_norm=load_norm(tfm, k(arch.key_attn_k_norm))
             if arch.key_attn_k_norm and cfg.use_qk_norm else None,
+            norm_post=load_norm(tfm, k(arch.key_norm_1_post))
+            if arch.key_norm_1_post else None,
         )
+        # parallel-decoder archs without a second norm (Cohere) share the
+        # attention input norm with the MLP (architecture.py:704-721)
+        mlp_norm = load_norm(tfm, k(arch.key_norm_2)) \
+            if arch.key_norm_2 else attn.norm
+        mlp_norm_post = load_norm(tfm, k(arch.key_norm_2_post)) \
+            if arch.key_norm_2_post else None
         if arch.is_moe:
             mlp = MoEWeights(
-                norm=load_norm(tfm, k(arch.key_norm_2)),
-                router=load_linear(tfm, k(arch.key_moe_gate)),
-                w1=tuple(load_linear(tfm, arch.key_moe_w1.format(l=l, e=e))
+                norm=mlp_norm,
+                router=lin(arch.key_moe_gate.format(l=l)),
+                w1=tuple(lin(arch.key_moe_w1.format(l=l, e=e))
                          for e in range(cfg.num_experts)),
-                w2=tuple(load_linear(tfm, arch.key_moe_w2.format(l=l, e=e))
+                w2=tuple(lin(arch.key_moe_w2.format(l=l, e=e))
                          for e in range(cfg.num_experts)),
-                w3=tuple(load_linear(tfm, arch.key_moe_w3.format(l=l, e=e))
+                w3=tuple(lin(arch.key_moe_w3.format(l=l, e=e))
                          for e in range(cfg.num_experts)),
+                norm_post=mlp_norm_post,
             )
-        elif arch.fused_gate_up:
-            from exllamav2_tpu.quant.qtensor import slice_columns
-            fused = load_linear(tfm, k(arch.key_fused_gate_up))
+        elif arch.fused_gate_up and not _has(
+                "model.layers.{l}.mlp.up_proj".format(l=l)):
+            fused = lin(arch.key_fused_gate_up.format(l=l))
             inter = cfg.intermediate_size
             mlp = MLPWeights(
-                norm=load_norm(tfm, k(arch.key_norm_2)),
+                norm=mlp_norm,
                 gate=slice_columns(fused, 0, inter),
                 up=slice_columns(fused, inter, 2 * inter),
-                down=load_linear(tfm, k(arch.key_mlp_down)),
+                down=lin(arch.key_mlp_down.format(l=l)),
+                norm_post=mlp_norm_post,
+            )
+        elif arch.fused_gate_up:
+            mlp = MLPWeights(
+                norm=mlp_norm,
+                gate=lin("model.layers.{l}.mlp.gate_proj".format(l=l)),
+                up=lin("model.layers.{l}.mlp.up_proj".format(l=l)),
+                down=lin(arch.key_mlp_down.format(l=l)),
+                norm_post=mlp_norm_post,
             )
         else:
             mlp = MLPWeights(
-                norm=load_norm(tfm, k(arch.key_norm_2)),
-                gate=load_linear(tfm, k(arch.key_mlp_gate))
+                norm=mlp_norm,
+                gate=lin(arch.key_mlp_gate.format(l=l))
                 if arch.mlp_gated and arch.key_mlp_gate else None,
-                up=load_linear(tfm, k(arch.key_mlp_up)),
-                down=load_linear(tfm, k(arch.key_mlp_down)),
+                up=lin(arch.key_mlp_up.format(l=l)),
+                down=lin(arch.key_mlp_down.format(l=l)),
+                norm_post=mlp_norm_post,
             )
         layers.append(LayerWeights(attn=attn, mlp=mlp))
 
-    final_norm = load_norm(tfm, arch.key_norm)
-    if cfg.tie_word_embeddings or not tfm.has_prefix(arch.key_head + "."):
+    final_norm = load_norm(tfm, pre + arch.key_norm)
+    if cfg.tie_word_embeddings or not tfm.has_prefix(pre + arch.key_head + "."):
         head = from_dense(embed.T)
     else:
-        head = load_linear(tfm, arch.key_head)
+        head = load_linear(tfm, pre + arch.key_head)
+
+    pos_emb = None
+    if arch.learned_pos_emb and arch.key_learned_pos_emb:
+        pos_emb = jnp.asarray(
+            read_weight_f32(tfm, pre + arch.key_learned_pos_emb + ".weight"),
+            dtype=jnp.bfloat16)
 
     sin, cos = build_sincos(cfg)
+    sin_alt = cos_alt = None
+    if any(ls.alt_rope for ls in st.layers):
+        import dataclasses as _dc
+        alt_cfg = _dc.replace(cfg, rotary_embedding_base=float(
+            arch.sliding_rope_theta), rope_scaling=None,
+            tensor_file_map=cfg.tensor_file_map)
+        sin_alt, cos_alt = build_sincos(alt_cfg)
     w = ModelWeights(embed=embed_j, layers=tuple(layers),
-                     final_norm=final_norm, head=head, sin=sin, cos=cos)
+                     final_norm=final_norm, head=head, sin=sin, cos=cos,
+                     pos_emb=pos_emb, sin_alt=sin_alt, cos_alt=cos_alt)
     return w, st

@@ -29,12 +29,15 @@ class NormWeights:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["norm", "q", "k", "v", "o", "q_norm", "k_norm"],
+         data_fields=["norm", "q", "k", "v", "o", "q_norm", "k_norm",
+                      "norm_post"],
          meta_fields=[])
 @dataclasses.dataclass
 class AttnWeights:
     """One attention block (attn.py analog). q/k/v/o are QuantLinear or
-    DenseLinear; q_norm/k_norm are per-head-dim norms (Qwen3/Gemma3)."""
+    DenseLinear; q_norm/k_norm are per-head-dim norms (Qwen3/Gemma3);
+    norm_post is the Gemma2/GLM4 post-attention norm applied to the block
+    output before the residual add."""
     norm: NormWeights
     q: Any
     k: Any
@@ -42,21 +45,26 @@ class AttnWeights:
     o: Any
     q_norm: NormWeights | None = None
     k_norm: NormWeights | None = None
+    norm_post: NormWeights | None = None
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["norm", "gate", "up", "down"], meta_fields=[])
+         data_fields=["norm", "gate", "up", "down", "norm_post"],
+         meta_fields=[])
 @dataclasses.dataclass
 class MLPWeights:
-    """Gated or ungated MLP (mlp.py analog); gate is None when ungated."""
+    """Gated or ungated MLP (mlp.py analog); gate is None when ungated;
+    norm_post is the Gemma2/GLM4 post-feedforward norm."""
     norm: NormWeights
     gate: Any | None
     up: Any
     down: Any
+    norm_post: NormWeights | None = None
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["norm", "router", "w1", "w2", "w3"], meta_fields=[])
+         data_fields=["norm", "router", "w1", "w2", "w3", "norm_post"],
+         meta_fields=[])
 @dataclasses.dataclass
 class MoEWeights:
     """Block-sparse MoE (moe_mlp.py analog). w1/w2/w3 are tuples of linears,
@@ -66,6 +74,7 @@ class MoEWeights:
     w1: tuple
     w2: tuple
     w3: tuple
+    norm_post: NormWeights | None = None
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -77,7 +86,8 @@ class LayerWeights:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["embed", "layers", "final_norm", "head", "sin", "cos"],
+         data_fields=["embed", "layers", "final_norm", "head", "sin", "cos",
+                      "pos_emb", "sin_alt", "cos_alt"],
          meta_fields=[])
 @dataclasses.dataclass
 class ModelWeights:
@@ -87,12 +97,16 @@ class ModelWeights:
     head: Any                         # QuantLinear | DenseLinear
     sin: jax.Array                    # [max_seq, rot/2] rope table
     cos: jax.Array
+    pos_emb: jax.Array | None = None  # [max_pos, d] learned positions (GPT2)
+    sin_alt: jax.Array | None = None  # gemma3 SWA-layer rope table
+    cos_alt: jax.Array | None = None
 
 
 @dataclasses.dataclass(frozen=True)
 class LayerStatic:
     """Per-layer static info (hashable; jit-static)."""
     sliding_window: int = 0           # 0 = full attention
+    alt_rope: bool = False            # gemma3: SWA layers use sin/cos_alt
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,6 +138,8 @@ class StaticModel:
     logit_scale: float = 1.0
     residual_fp32: bool = False
     parallel_blocks: bool = False
+    scale_depth: float = 1.0          # minicpm/granite residual multiplier
+    learned_pos_emb: bool = False     # gpt2: add pos_emb rows after embed
     # False forces the dequant+XLA-matmul path everywhere (multi-device GSPMD
     # can't partition a pallas custom call; shard_map kernels come later)
     fused_matmul: bool = True

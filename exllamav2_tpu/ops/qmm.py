@@ -5,7 +5,10 @@ Two TPU execution paths, replacing the reference's CUDA GEMV/cuBLAS split
 
   * decode (few rows): a fused Pallas kernel streams the plane-packed words
     HBM->VMEM once, unpacks + scales on the VPU and feeds the MXU — the
-    HBM-bandwidth-bound path that sets tokens/s;
+    HBM-bandwidth-bound path that sets tokens/s. The v5e VPU:HBM ratio
+    (~4.7 lane-ops/byte) makes the unpack+scale chain a joint bottleneck
+    near 0.5x HBM peak; int8-MXU and bitcast-extraction variants measured
+    in tools/perf_qmm.py lose (see docs/DESIGN.md round-2 kernel study);
   * prefill (many rows): dequantize to bf16 and let XLA run a normal MXU
     matmul (compute-bound, dequant cost amortized).
 

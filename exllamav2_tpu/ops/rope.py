@@ -43,9 +43,22 @@ def rope_params(cfg) -> tuple[np.ndarray, float]:
         factor = float(rs.get("factor", 1.0))
         inv_freq = inv_freq / factor
 
-    elif rope_type in ("dynamic", "ntk"):
+    elif rope_type == "ntk":
         # NTK-alpha: scale the base (rope.py:148-159)
         alpha = float(rs.get("alpha", rs.get("factor", 1.0)))
+        base = base * alpha ** (dim / (dim - 2))
+        inv_freq = 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+
+    elif rope_type == "dynamic":
+        # HF dynamic-NTK evaluated at the target length: the effective base
+        # grows with seq_len; we bake the table for max_seq_len
+        # (transformers modeling_rope_utils _compute_dynamic_ntk_parameters)
+        factor = float(rs.get("factor", 1.0))
+        orig_max = int(rs.get("original_max_position_embeddings",
+                              cfg.original_max_position_embeddings
+                              or cfg.max_position_embeddings))
+        seq_len = max(getattr(cfg, "max_seq_len", orig_max), orig_max)
+        alpha = factor * seq_len / orig_max - (factor - 1)
         base = base * alpha ** (dim / (dim - 2))
         inv_freq = 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
 

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from exllamav2_tpu.quant import formats as F
 
 __all__ = ["QuantSegment", "GptqSegment", "QuantLinear", "DenseLinear",
-           "from_exl2", "from_gptq", "from_dense",
+           "from_exl2", "from_gptq", "from_dense", "slice_columns",
+           "gather_columns",
            "SUB_BLOCK", "plane_split", "pack_planes", "unpack_planes_np"]
 
 # K-rows of every segment are padded to a multiple of this at load time, with
@@ -44,6 +45,11 @@ SUB_BLOCK = 256
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+    return a * b // math.gcd(a, b)
 
 
 def plane_split(bits: int) -> tuple[int, ...]:
@@ -174,7 +180,7 @@ def from_exl2(t: F.Exl2Tensor, lane_pad: int = 128) -> QuantLinear:
                 / np.float16(256)).astype(np.float32)      # fp16-rounded /256
     segs = []
     for seg in t.segments():
-        rows_pad = _round_up(seg.rows, SUB_BLOCK)
+        rows_pad = _round_up(seg.rows, _lcm(SUB_BLOCK, seg.group_rows))
         groups_pad = rows_pad // seg.group_rows
         q = _pad2d(q_all[seg.row_start:seg.row_start + seg.rows],
                    rows_pad, n_pad, fill=2 ** (seg.bits - 1))
@@ -216,7 +222,7 @@ def from_gptq(t: F.GptqTensor, lane_pad: int = 128) -> QuantLinear:
         q = q[order]
         perm = jnp.asarray(order.astype(np.int32))
     n_pad = _round_up(t.n, lane_pad)
-    rows_pad = _round_up(t.k, SUB_BLOCK)
+    rows_pad = _round_up(t.k, _lcm(SUB_BLOCK, gs))
     groups_pad = max(rows_pad // gs, t.groups) if gs <= rows_pad \
         else t.groups
     qp = _pad2d(q, rows_pad, n_pad, fill=0)
@@ -266,6 +272,32 @@ def slice_columns(lin, beg: int, end: int):
     bias = None if lin.bias is None else lin.bias[beg:end]
     return QuantLinear(segments=tuple(segs), perm=lin.perm, bias=bias,
                        k=lin.k, n=end - beg, n_orig=end - beg)
+
+
+def gather_columns(lin, idx):
+    """Gather out-features by index array (InternLM2 altpack fused-qkv
+    unpacking, module.py:154-199). idx must be a 1-D int array; the result
+    keeps the source k/perm."""
+    idx = jnp.asarray(np.asarray(idx, dtype=np.int32))
+    if isinstance(lin, DenseLinear):
+        return DenseLinear(
+            weight=jnp.take(lin.weight, idx, axis=1),
+            bias=None if lin.bias is None else jnp.take(lin.bias, idx))
+    assert isinstance(lin, QuantLinear)
+    segs = []
+    for seg in lin.segments:
+        repl = {"planes": tuple(jnp.take(p, idx, axis=1)
+                                for p in seg.planes)}
+        if isinstance(seg, GptqSegment):
+            repl["scale"] = jnp.take(seg.scale, idx, axis=1)
+            repl["zero"] = jnp.take(seg.zero, idx, axis=1)
+        else:
+            repl["qscale"] = jnp.take(seg.qscale, idx, axis=1)
+        segs.append(dataclasses.replace(seg, **repl))
+    bias = None if lin.bias is None else jnp.take(lin.bias, idx)
+    n = int(idx.shape[0])
+    return QuantLinear(segments=tuple(segs), perm=lin.perm, bias=bias,
+                       k=lin.k, n=n, n_orig=n)
 
 
 def from_dense(weight: np.ndarray, bias: np.ndarray | None = None) -> DenseLinear:

@@ -94,6 +94,19 @@ class STFile:
             self._mm = None
 
 
+def apply_keymap(name: str, keymap: tuple) -> str:
+    """Rename a stored tensor name to the canonical layout (reference
+    architecture.py:81-106 keymaps): each (src, dst) pair substitutes;
+    a "$"-prefixed src anchors at the start of the name."""
+    for src, dst in keymap:
+        if src.startswith("$"):
+            if name.startswith(src[1:]):
+                name = dst + name[len(src) - 1:]
+        else:
+            name = name.replace(src, dst)
+    return name
+
+
 class TensorFileMap:
     """Maps tensor name -> shard across a model directory.
 
@@ -101,10 +114,11 @@ class TensorFileMap:
     *.safetensors in the directory, preferring the index json when present.
     """
 
-    def __init__(self, model_dir: str):
+    def __init__(self, model_dir: str, keymap: tuple = ()):
         self.model_dir = model_dir
         self.files: dict[str, STFile] = {}
         self.map: dict[str, STFile] = {}
+        self._stored: dict[str, str] = {}     # canonical -> stored name
         names = sorted(fn for fn in os.listdir(model_dir)
                        if fn.endswith(".safetensors"))
         if not names:
@@ -113,7 +127,20 @@ class TensorFileMap:
             st = STFile(os.path.join(model_dir, fn))
             self.files[fn] = st
             for key in st.keys():
-                self.map[key] = st
+                canon = apply_keymap(key, keymap)
+                self.map[canon] = st
+                self._stored[canon] = key
+
+    def set_keymap(self, keymap: tuple):
+        """Re-index under an architecture keymap (config knows the arch
+        only after reading config.json, which needs no tensors)."""
+        old = {self._stored[c]: st for c, st in self.map.items()}
+        self.map = {}
+        self._stored = {}
+        for key, st in old.items():
+            canon = apply_keymap(key, keymap)
+            self.map[canon] = st
+            self._stored[canon] = key
 
     def __contains__(self, key: str) -> bool:
         return key in self.map
@@ -122,13 +149,13 @@ class TensorFileMap:
         return self.map.keys()
 
     def get_tensor(self, key: str) -> np.ndarray:
-        return self.map[key].get_tensor(key)
+        return self.map[key].get_tensor(self._stored[key])
 
     def get_dtype(self, key: str) -> str:
-        return self.map[key].get_dtype(key)
+        return self.map[key].get_dtype(self._stored[key])
 
     def get_shape(self, key: str) -> list[int]:
-        return self.map[key].get_shape(key)
+        return self.map[key].get_shape(self._stored[key])
 
     def has_prefix(self, prefix: str) -> bool:
         return any(k.startswith(prefix) for k in self.map)

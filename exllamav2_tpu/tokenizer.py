@@ -43,6 +43,63 @@ class TokenizerBase:
             return set()
         return set(e) if isinstance(e, (list, tuple)) else {e}
 
+    def piece_to_id(self, piece: str) -> int | None:
+        """Inverse of id_to_piece (None when absent)."""
+        return self.get_piece_to_id_dict().get(piece)
+
+    # ---- derived structures (reference tokenizer.py:635-801) ----
+    # cached lazily; built once per tokenizer instance
+
+    def get_id_to_piece_list(self) -> list[str]:
+        lst = getattr(self, "_id_to_piece", None)
+        if lst is None:
+            lst = [self.id_to_piece(i) for i in range(self.vocab_size)]
+            self._id_to_piece = lst
+        return lst
+
+    def get_piece_to_id_dict(self) -> dict[str, int]:
+        d = getattr(self, "_piece_to_id", None)
+        if d is None:
+            d = {}
+            for i, p in enumerate(self.get_id_to_piece_list()):
+                d.setdefault(p, i)
+            self._piece_to_id = d
+        return d
+
+    def _sorted_pieces(self):
+        sp = getattr(self, "_sorted", None)
+        if sp is None:
+            pieces = self.get_id_to_piece_list()
+            order = sorted(range(len(pieces)), key=lambda i: pieces[i])
+            sp = ([pieces[i] for i in order],
+                  np.asarray(order, np.int32))
+            self._sorted = sp
+        return sp
+
+    def prefix_ids(self, prefix: str) -> np.ndarray:
+        """Token ids whose piece starts with `prefix`, via binary search
+        over the sorted piece list — O(log V + matches) instead of the
+        reference's prefix dict scan (tokenizer.py:703-734)."""
+        import bisect
+        pieces, order = self._sorted_pieces()
+        lo = bisect.bisect_left(pieces, prefix)
+        hi = bisect.bisect_left(pieces, prefix + "￿")
+        return order[lo:hi]
+
+    def get_char_trie(self):
+        """Root of a char trie over pieces (tokenizer.py:758-801 analog):
+        node = (children dict, list of token ids ending here)."""
+        trie = getattr(self, "_char_trie", None)
+        if trie is None:
+            trie = ({}, [])
+            for i, p in enumerate(self.get_id_to_piece_list()):
+                node = trie
+                for ch in p:
+                    node = node[0].setdefault(ch, ({}, []))
+                node[1].append(i)
+            self._char_trie = trie
+        return trie
+
 
 class ByteTokenizer(TokenizerBase):
     """256-way byte vocab + specials; hermetic test backend."""

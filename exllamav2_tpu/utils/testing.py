@@ -172,10 +172,17 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
                     act_order: bool = False, arch: str = "LlamaForCausalLM",
                     extra_config: dict | None = None,
                     scale: float = 0.05, head_scale: float = 1.0) -> str:
-    """Write a tiny random Llama checkpoint; returns model_dir."""
+    """Write a tiny random checkpoint in the layout the given architecture
+    declares (keys derived from the ArchParams registry); returns model_dir.
+    """
+    from exllamav2_tpu.architecture import get_arch, NormType
+
     os.makedirs(model_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
+    ap = get_arch(arch, allow_fallback=True)
     head_dim = hidden // heads
+    if ap.mqa:
+        kv_heads = 1
     cfg = {
         "architectures": [arch],
         "hidden_size": hidden,
@@ -185,6 +192,9 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
         "num_key_value_heads": kv_heads,
         "vocab_size": vocab,
         "rms_norm_eps": 1e-5,
+        "layer_norm_eps": 1e-5,
+        "layer_norm_epsilon": 1e-5,
+        "norm_epsilon": 1e-5,
         "rope_theta": 10000.0,
         "max_position_embeddings": max_pos,
         "tie_word_embeddings": False,
@@ -199,8 +209,13 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
         return (rng.standard_normal((o, i)) * scale).astype(np.float32)
 
     tensors: dict[str, np.ndarray] = {}
+    pre = ap.lm_prefix
+    norm_bias = ap.norm == NormType.LAYERNORM
 
-    def put_linear(key, w_hf):
+    def put_linear(key, w_hf, bias_width=0):
+        if ap.orig_weights_transposed:
+            w_hf = np.ascontiguousarray(w_hf.T)   # Conv1D stores [in, out]
+            assert quant is None, "transposed fixtures are fp16-only"
         if quant == "exl2":
             sub = _quant_linear_exl2(rng, w_hf, bits_pattern=[4, 4, 5, 3],
                                      act_order=act_order)
@@ -209,62 +224,96 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
         else:
             sub = {"weight": w_hf.astype(np.float16)}
         for suffix, arr in sub.items():
-            tensors[f"{key}.{suffix}"] = arr
+            tensors[f"{pre}{key}.{suffix}"] = arr
+        if bias_width:
+            tensors[f"{pre}{key}.bias"] = \
+                (rng.standard_normal(bias_width) * 0.01).astype(np.float16)
 
-    norm_bias = arch in ("Starcoder2ForCausalLM", "CohereForCausalLM")
-    tensors["model.embed_tokens.weight"] = dense(vocab, hidden).astype(np.float16)
-    for l in range(layers):
-        p = f"model.layers.{l}"
-        tensors[f"{p}.input_layernorm.weight"] = \
-            np.ones(hidden, np.float16) + rng.standard_normal(hidden).astype(np.float16) * 0.01
-        tensors[f"{p}.post_attention_layernorm.weight"] = \
-            np.ones(hidden, np.float16) + rng.standard_normal(hidden).astype(np.float16) * 0.01
+    def put_norm(key_pat, l):
+        key = pre + key_pat.split("|")[0].format(l=l)
+        tensors[f"{key}.weight"] = (
+            np.ones(hidden, np.float16)
+            + rng.standard_normal(hidden).astype(np.float16) * 0.01)
         if norm_bias:
-            tensors[f"{p}.input_layernorm.bias"] = \
-                np.zeros(hidden, np.float16)
-            tensors[f"{p}.post_attention_layernorm.bias"] = \
-                np.zeros(hidden, np.float16)
-        if arch == "Phi3ForCausalLM":
-            put_linear(f"{p}.self_attn.qkv_proj",
-                       dense((heads + 2 * kv_heads) * head_dim, hidden))
+            tensors[f"{key}.bias"] = np.zeros(hidden, np.float16)
+
+    tensors[f"{pre}model.embed_tokens.weight"] = \
+        dense(vocab, hidden).astype(np.float16)
+    if ap.learned_pos_emb and ap.key_learned_pos_emb:
+        tensors[f"{pre}{ap.key_learned_pos_emb}.weight"] = \
+            (rng.standard_normal((max_pos, hidden)) * 0.01).astype(np.float16)
+
+    attn_bias = bool(ap.attention_bias
+                     or (extra_config or {}).get("attention_bias"))
+    mlp_bias = ap.mlp_bias
+    nq, nkv = heads * head_dim, kv_heads * head_dim
+    for l in range(layers):
+        put_norm(ap.key_norm_1, l)
+        if ap.key_norm_1_post:
+            put_norm(ap.key_norm_1_post, l)
+        if ap.key_norm_2:
+            put_norm(ap.key_norm_2, l)
+        if ap.key_norm_2_post:
+            put_norm(ap.key_norm_2_post, l)
+        if ap.fused_qkv:
+            if ap.fused_qkv_altpack:
+                # [q_group | k | v] per kv head (InternLM2 wqkv)
+                g = heads // kv_heads
+                blocks = []
+                for h in range(kv_heads):
+                    blocks += [dense(g * head_dim, hidden),
+                               dense(head_dim, hidden),
+                               dense(head_dim, hidden)]
+                w = np.concatenate(blocks, axis=0)
+            else:
+                w = dense(nq + 2 * nkv, hidden)
+            put_linear(ap.key_fused_qkv.format(l=l), w,
+                       bias_width=(nq + 2 * nkv) if attn_bias else 0)
         else:
-            put_linear(f"{p}.self_attn.q_proj",
-                       dense(heads * head_dim, hidden))
-            put_linear(f"{p}.self_attn.k_proj",
-                       dense(kv_heads * head_dim, hidden))
-            put_linear(f"{p}.self_attn.v_proj",
-                       dense(kv_heads * head_dim, hidden))
-        put_linear(f"{p}.self_attn.o_proj", dense(hidden, heads * head_dim))
-        if (extra_config or {}).get("attention_bias"):
-            for nm, width in (("q_proj", heads * head_dim),
-                              ("k_proj", kv_heads * head_dim),
-                              ("v_proj", kv_heads * head_dim)):
-                tensors[f"{p}.self_attn.{nm}.bias"] = \
-                    (rng.standard_normal(width) * 0.01).astype(np.float16)
-        if arch == "MixtralForCausalLM":
-            n_exp = (extra_config or {}).get("num_local_experts", 4)
+            put_linear(ap.key_attn_q.format(l=l), dense(nq, hidden),
+                       bias_width=nq if attn_bias else 0)
+            put_linear(ap.key_attn_k.format(l=l), dense(nkv, hidden),
+                       bias_width=nkv if attn_bias else 0)
+            put_linear(ap.key_attn_v.format(l=l), dense(nkv, hidden),
+                       bias_width=nkv if attn_bias else 0)
+        put_linear(ap.key_attn_o.format(l=l), dense(hidden, nq),
+                   bias_width=hidden if ap.attention_bias_o else 0)
+        if ap.is_moe:
+            n_exp = (extra_config or {}).get(
+                "num_local_experts", (extra_config or {}).get(
+                    "num_experts", 4))
             # router stays fp16 (reference keeps it unquantized)
-            tensors[f"{p}.block_sparse_moe.gate.weight"] = \
+            tensors[f"{pre}{ap.key_moe_gate.format(l=l)}.weight"] = \
                 dense(n_exp, hidden).astype(np.float16)
             for e in range(n_exp):
-                q = f"{p}.block_sparse_moe.experts.{e}"
-                put_linear(f"{q}.w1", dense(inter, hidden))
-                put_linear(f"{q}.w2", dense(hidden, inter))
-                put_linear(f"{q}.w3", dense(inter, hidden))
-        elif arch == "Phi3ForCausalLM":
-            put_linear(f"{p}.mlp.gate_up_proj", dense(2 * inter, hidden))
-            put_linear(f"{p}.mlp.down_proj", dense(hidden, inter))
+                put_linear(ap.key_moe_w1.format(l=l, e=e),
+                           dense(inter, hidden))
+                put_linear(ap.key_moe_w2.format(l=l, e=e),
+                           dense(hidden, inter))
+                put_linear(ap.key_moe_w3.format(l=l, e=e),
+                           dense(inter, hidden))
+        elif ap.fused_gate_up:
+            put_linear(ap.key_fused_gate_up.format(l=l),
+                       dense(2 * inter, hidden))
+            put_linear(ap.key_mlp_down.format(l=l), dense(hidden, inter))
         else:
-            put_linear(f"{p}.mlp.gate_proj", dense(inter, hidden))
-            put_linear(f"{p}.mlp.up_proj", dense(inter, hidden))
-            put_linear(f"{p}.mlp.down_proj", dense(hidden, inter))
-    tensors["model.norm.weight"] = np.ones(hidden, np.float16)
+            if ap.mlp_gated and ap.key_mlp_gate:
+                put_linear(ap.key_mlp_gate.format(l=l), dense(inter, hidden),
+                           bias_width=inter if mlp_bias else 0)
+            put_linear(ap.key_mlp_up.format(l=l), dense(inter, hidden),
+                       bias_width=inter if mlp_bias else 0)
+            put_linear(ap.key_mlp_down.format(l=l), dense(hidden, inter),
+                       bias_width=hidden if mlp_bias else 0)
+    tensors[f"{pre}model.norm.weight"] = np.ones(hidden, np.float16)
     if norm_bias:
-        tensors["model.norm.bias"] = np.zeros(hidden, np.float16)
-    # head_scale > 1 sharpens logit margins so greedy argmax is stable
-    # under bf16 shape-dependent accumulation (speculative-decode tests)
-    tensors["lm_head.weight"] = \
-        (dense(vocab, hidden) * head_scale).astype(np.float16)
+        tensors[f"{pre}model.norm.bias"] = np.zeros(hidden, np.float16)
+    if not ap.tied_head_default:
+        # head_scale > 1 sharpens logit margins so greedy argmax is stable
+        # under bf16 shape-dependent accumulation (speculative-decode tests)
+        w = dense(vocab, hidden) * head_scale
+        if ap.orig_weights_transposed:
+            w = np.ascontiguousarray(w.T)
+        tensors[f"{pre}lm_head.weight"] = w.astype(np.float16)
 
     write_safetensors(os.path.join(model_dir, "model.safetensors"), tensors)
     return model_dir

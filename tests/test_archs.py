@@ -92,3 +92,118 @@ def test_cohere_parallel_blocks(tmp_path):
     assert model.static.norm_type == "layernorm"
     assert model.static.logit_scale == 0.5
     _consistency(model, IDS)
+
+def test_cohere_shares_input_norm(tmp_path):
+    """Cohere has no post_attention_layernorm: the MLP must reuse the
+    attention input norm (reference architecture.py:704-721 norm_2=None)."""
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=31,
+                        arch="CohereForCausalLM")
+    model = Model.from_dir(d)
+    lw = model.weights.layers[0]
+    assert lw.mlp.norm is lw.attn.norm
+    assert model.static.rope_style == "gptj"
+
+
+def test_glm4_post_norms(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=32,
+                        arch="Glm4ForCausalLM")
+    model = Model.from_dir(d)
+    lw = model.weights.layers[0]
+    assert lw.attn.norm_post is not None      # post_self_attn_layernorm
+    assert lw.mlp.norm_post is not None       # post_mlp_layernorm
+    assert lw.mlp.gate is not None            # fused gate_up split
+    assert model.static.rope_style == "gptj"
+    _consistency(model, IDS)
+
+
+def test_gemma2_four_norms(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=33,
+                        arch="Gemma2ForCausalLM",
+                        extra_config={"sliding_window": 4})
+    model = Model.from_dir(d)
+    lw = model.weights.layers[0]
+    assert lw.attn.norm_post is not None
+    assert lw.mlp.norm_post is not None
+    _consistency(model, IDS)
+
+
+def test_yi_norm_aliases(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant="exl2", seed=34,
+                        arch="YiForCausalLM")
+    model = Model.from_dir(d)
+    _consistency(model, IDS)
+
+
+def test_gpt2_learned_pos_emb(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=35,
+                        arch="GPT2LMHeadModel")
+    model = Model.from_dir(d)
+    assert model.static.learned_pos_emb
+    assert model.weights.pos_emb is not None
+    assert model.static.rope_style == "none"
+    # tied head (wte)
+    _consistency(model, IDS)
+
+
+def test_gptbigcode_mqa(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=36,
+                        arch="GPTBigCodeForCausalLM", heads=4, kv_heads=1)
+    model = Model.from_dir(d)
+    assert model.static.num_kv_heads == 1
+    _consistency(model, IDS)
+
+
+def test_internlm2_altpack(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=37,
+                        arch="InternLM2ForCausalLM")
+    model = Model.from_dir(d)
+    _consistency(model, IDS)
+
+
+def test_minicpm_scale_depth(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=38,
+                        arch="MiniCPMForCausalLM",
+                        extra_config={"scale_depth": 1.4,
+                                      "scale_emb": 12.0,
+                                      "dim_model_base": 128})
+    model = Model.from_dir(d)
+    st = model.static
+    assert abs(st.scale_depth - 1.4 / np.sqrt(2)) < 1e-6
+    assert st.embedding_multiplier == 12.0
+    assert abs(st.logit_scale - 128 / 256) < 1e-6
+    _consistency(model, IDS)
+
+
+def test_starcoder2_ungated(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=39,
+                        arch="Starcoder2ForCausalLM")
+    model = Model.from_dir(d)
+    assert not model.static.mlp_gated
+    _consistency(model, IDS)
+
+
+def test_unknown_arch_raises(tmp_path):
+    from exllamav2_tpu.architecture import UnknownArchitectureError
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=40,
+                        arch="LlamaForCausalLM")
+    import json, os
+    cfg = json.load(open(os.path.join(d, "config.json")))
+    cfg["architectures"] = ["TotallyMadeUpForCausalLM"]
+    json.dump(cfg, open(os.path.join(d, "config.json"), "w"))
+    with pytest.raises(UnknownArchitectureError):
+        Model.from_dir(d)
+
+
+def test_granite_multipliers(tmp_path):
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=41,
+                        arch="GraniteForCausalLM",
+                        extra_config={"attention_multiplier": 0.015625,
+                                      "residual_multiplier": 0.22,
+                                      "logits_scaling": 8.0,
+                                      "embedding_multiplier": 12.0})
+    model = Model.from_dir(d)
+    st = model.static
+    assert st.attn_scale == 0.015625
+    assert abs(st.scale_depth - 0.22) < 1e-9
+    assert abs(st.logit_scale - 0.125) < 1e-9
+    _consistency(model, IDS)

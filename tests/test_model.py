@@ -98,3 +98,32 @@ def test_gqa_and_act_order(tmp_path):
     logits, _ = model.forward(ids, cache, 0)
     ref = llama_forward(d, ids)
     assert _rel_err(np.asarray(logits), ref) < 0.03
+
+
+def test_sparse_moe_matches_dense(tmp_path):
+    """The cond-gated sparse MoE decode path must match the dense
+    all-experts formulation exactly (VERDICT: decode FLOPs ~ top-k)."""
+    import jax
+    import jax.numpy as jnp
+    from exllamav2_tpu.models import forward as FWD
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=61,
+                        arch="MixtralForCausalLM", hidden=128, inter=128,
+                        heads=2, kv_heads=2,
+                        extra_config={"num_local_experts": 4,
+                                      "num_experts_per_tok": 2})
+    model = Model.from_dir(str(d))
+    lw = model.weights.layers[0]
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 128), jnp.bfloat16)
+    dense = FWD.moe_forward(x, lw.mlp, model.static)
+    FWD._FORCE_SPARSE_MOE[0] = True
+    try:
+        sparse = jax.jit(
+            lambda x: FWD.moe_forward(x, lw.mlp, model.static))(x)
+    finally:
+        FWD._FORCE_SPARSE_MOE[0] = False
+    import numpy as np
+    a, b = np.asarray(dense, np.float32), np.asarray(sparse, np.float32)
+    assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()

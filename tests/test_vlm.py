@@ -1,0 +1,243 @@
+"""VLM subsystem: vision tower forward, MM embeddings, MRoPE, E2E generate.
+
+Hermetic fixtures: tiny random pixtral / qwen2-vl checkpoints with a
+vision tower, driven with numpy images (no PIL assets needed).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from exllamav2_tpu.cache_paged import PagedKVCache
+from exllamav2_tpu.config import ModelConfig
+from exllamav2_tpu.generator.dynamic import DynamicGenerator, DynamicJob
+from exllamav2_tpu.models.model import Model
+from exllamav2_tpu.tokenizer import ByteTokenizer
+from exllamav2_tpu.utils.testing import make_tiny_llama
+from exllamav2_tpu.stloader import TensorFileMap, write_safetensors
+
+
+def _add_pixtral_tower(d, vh=64, heads=4, layers=2, inter=96, patch=4,
+                       lm_hidden=256, seed=7):
+    rng = np.random.default_rng(seed)
+
+    def dense(o, i):
+        return (rng.standard_normal((o, i)) * 0.05).astype(np.float16)
+
+    t = {}
+    t["vision_tower.ln_pre.weight"] = np.ones(vh, np.float16)
+    t["vision_tower.patch_conv.weight"] = \
+        (rng.standard_normal((vh, 3, patch, patch)) * 0.05).astype(np.float16)
+    for l in range(layers):
+        p = f"vision_tower.transformer.layers.{l}"
+        t[f"{p}.attention_norm.weight"] = np.ones(vh, np.float16)
+        t[f"{p}.ffn_norm.weight"] = np.ones(vh, np.float16)
+        for nm in ("q", "k", "v", "o"):
+            t[f"{p}.attention.{nm}_proj.weight"] = dense(vh, vh)
+        t[f"{p}.feed_forward.gate_proj.weight"] = dense(inter, vh)
+        t[f"{p}.feed_forward.up_proj.weight"] = dense(inter, vh)
+        t[f"{p}.feed_forward.down_proj.weight"] = dense(vh, inter)
+    t["multi_modal_projector.linear_1.weight"] = dense(lm_hidden, vh)
+    t["multi_modal_projector.linear_1.bias"] = np.zeros(lm_hidden, np.float16)
+    t["multi_modal_projector.linear_2.weight"] = dense(lm_hidden, lm_hidden)
+    t["multi_modal_projector.linear_2.bias"] = np.zeros(lm_hidden, np.float16)
+
+    tfm = TensorFileMap(d)
+    allt = {k: tfm.get_tensor(k).copy() for k in tfm.keys()}
+    tfm.close()
+    allt.update(t)
+    write_safetensors(os.path.join(d, "model.safetensors"), allt)
+    with open(os.path.join(d, "preprocessor_config.json"), "w") as f:
+        json.dump({"image_processor_type": "PixtralImageProcessor",
+                   "image_mean": [0.48, 0.46, 0.41],
+                   "image_std": [0.27, 0.26, 0.28],
+                   "resample": 3, "rescale_factor": 1 / 255.0,
+                   "patch_size": {"width": 4, "height": 4},
+                   "size": {"longest_edge": 32}}, f)
+
+
+@pytest.fixture(scope="module")
+def pixtral_setup(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pixtral"))
+    make_tiny_llama(d, quant=None, seed=51, vocab=384, max_pos=4096,
+                    arch="LlavaForConditionalGeneration",
+                    extra_config={
+                        "vision_config": {
+                            "model_type": "pixtral", "hidden_size": 64,
+                            "head_dim": 16, "num_attention_heads": 4,
+                            "patch_size": 4, "rope_theta": 10000.0,
+                            "num_hidden_layers": 2,
+                            "intermediate_size": 96,
+                            "hidden_act": "silu"},
+                        "vision_feature_layer": -1,
+                    })
+    _add_pixtral_tower(d)
+    model = Model.from_dir(d)
+    cfg = model.config
+    from exllamav2_tpu.vlm import VisionTower
+    tower = VisionTower(cfg)
+    return model, tower
+
+
+def test_pixtral_tower_embeddings(pixtral_setup):
+    model, tower = pixtral_setup
+    tok = ByteTokenizer(384)
+    img = (np.random.default_rng(0).random((16, 24, 3)) * 255).astype(
+        np.uint8)
+    mme = tower.get_image_embeddings(model, tok, img, text_alias="<img>")
+    # 16x24 at patch 4 -> 4x6=24 feature rows (no break/end rows: the
+    # byte tokenizer has no [IMG_BREAK] piece)
+    assert mme.embeddings.shape == (24, model.static.hidden_size)
+    assert np.isfinite(np.asarray(mme.embeddings, np.float32)).all()
+    assert mme.first_index >= 1_000_000_000
+
+
+def test_pixtral_generate_e2e(pixtral_setup):
+    model, tower = pixtral_setup
+    tok = ByteTokenizer(384)
+    img = (np.random.default_rng(1).random((16, 16, 3)) * 255).astype(
+        np.uint8)
+    mme = tower.get_image_embeddings(model, tok, img, text_alias="<img>")
+    cache = PagedKVCache.alloc(
+        model.static.num_layers, 32, model.static.num_kv_heads,
+        model.static.head_dim, "bf16")
+    gen = DynamicGenerator(model, cache, tok, max_batch_size=4)
+    from exllamav2_tpu.generator.sampler import Settings
+    out = gen.generate("look <img> here", max_new_tokens=8,
+                       settings=Settings.greedy(), embeddings=[mme])
+    assert isinstance(out, str)
+    # MM ids participate in prompt hashing: a second identical job reuses
+    out2 = gen.generate("look <img> here", max_new_tokens=8,
+                        settings=Settings.greedy(), embeddings=[mme])
+    assert out == out2
+
+
+def test_mrope_pos_ids():
+    from exllamav2_tpu.ops.mrope import gen_mrope_pos_ids
+    # text(2) + image 2x2 grid (merge 1 -> 4 tokens) + text(2)
+    ids = np.array([5, 6,
+                    10**9, 10**9 + 1, 10**9 + 2, 10**9 + 3,
+                    7, 8], np.int64)
+    pos, nxt = gen_mrope_pos_ids(
+        ids, 1, [(10**9, 10**9 + 4)], [(1, 2, 2)], 10)
+    # text positions
+    assert pos[:, 0].tolist() == [0, 0, 0]
+    assert pos[:, 1].tolist() == [1, 1, 1]
+    # image block: t=0, h/w grid offsets from base=2
+    assert pos[0, 2:6].tolist() == [2, 2, 2, 2]
+    assert pos[1, 2:6].tolist() == [2, 2, 3, 3]
+    assert pos[2, 2:6].tolist() == [2, 3, 2, 3]
+    # text resumes at base + max(1,2,2) = 4
+    assert pos[:, 6].tolist() == [4, 4, 4]
+    assert pos[:, 7].tolist() == [5, 5, 5]
+    # continuation positions for decode
+    assert pos[:, 8].tolist() == [6, 6, 6]
+    assert nxt == 8
+
+
+def test_mrope_rows_sections():
+    from exllamav2_tpu.ops.mrope import mrope_rows
+    inv = 1.0 / 10000.0 ** (np.arange(0, 8, 2) / 8.0)   # rot/2 = 4
+    # two timesteps with all three axes equal (plain-text positions)
+    pos = np.array([[3, 5], [3, 5], [3, 5]], np.int64)
+    sin, cos = mrope_rows(pos, inv, [2, 1, 1])
+    # equal axes must reduce to the standard table
+    ref = np.sin(np.outer([3, 5], inv))
+    assert np.allclose(sin, ref, atol=1e-6)
+
+
+def _add_qwen2vl_tower(d, vh=32, heads=2, layers=2, lm_hidden=256,
+                       patch=4, seed=9):
+    rng = np.random.default_rng(seed)
+
+    def dense(o, i):
+        return (rng.standard_normal((o, i)) * 0.05).astype(np.float16)
+
+    t = {}
+    # conv3d [vh, 3, tps, p, p] flattened by the loader
+    t["visual.patch_embed.proj.weight"] = \
+        (rng.standard_normal((vh, 3, 2, patch, patch)) * 0.05
+         ).astype(np.float16)
+    for l in range(layers):
+        p = f"visual.blocks.{l}"
+        t[f"{p}.norm1.weight"] = np.ones(vh, np.float16)
+        t[f"{p}.norm1.bias"] = np.zeros(vh, np.float16)
+        t[f"{p}.norm2.weight"] = np.ones(vh, np.float16)
+        t[f"{p}.norm2.bias"] = np.zeros(vh, np.float16)
+        t[f"{p}.attn.qkv.weight"] = dense(3 * vh, vh)
+        t[f"{p}.attn.qkv.bias"] = np.zeros(3 * vh, np.float16)
+        t[f"{p}.attn.proj.weight"] = dense(vh, vh)
+        t[f"{p}.attn.proj.bias"] = np.zeros(vh, np.float16)
+        t[f"{p}.mlp.fc1.weight"] = dense(4 * vh, vh)
+        t[f"{p}.mlp.fc1.bias"] = np.zeros(4 * vh, np.float16)
+        t[f"{p}.mlp.fc2.weight"] = dense(vh, 4 * vh)
+        t[f"{p}.mlp.fc2.bias"] = np.zeros(vh, np.float16)
+    merge = 4 * vh   # spatial_merge 2 -> merge^2 = 4 concat
+    t["visual.merger.ln_q.weight"] = np.ones(vh, np.float16)
+    t["visual.merger.ln_q.bias"] = np.zeros(vh, np.float16)
+    t["visual.merger.mlp.0.weight"] = dense(merge, merge)
+    t["visual.merger.mlp.0.bias"] = np.zeros(merge, np.float16)
+    t["visual.merger.mlp.2.weight"] = dense(lm_hidden, merge)
+    t["visual.merger.mlp.2.bias"] = np.zeros(lm_hidden, np.float16)
+
+    tfm = TensorFileMap(d)
+    allt = {k: tfm.get_tensor(k).copy() for k in tfm.keys()}
+    tfm.close()
+    allt.update(t)
+    write_safetensors(os.path.join(d, "model.safetensors"), allt)
+    with open(os.path.join(d, "preprocessor_config.json"), "w") as f:
+        json.dump({"image_processor_type": "Qwen2VLImageProcessor",
+                   "image_mean": [0.48, 0.46, 0.41],
+                   "image_std": [0.27, 0.26, 0.28],
+                   "patch_size": patch, "temporal_patch_size": 2,
+                   "merge_size": 2, "min_pixels": 8 * 8,
+                   "max_pixels": 64 * 64,
+                   "rescale_factor": 1 / 255.0}, f)
+
+
+@pytest.fixture(scope="module")
+def qwen2vl_setup(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("qwen2vl"))
+    make_tiny_llama(d, quant=None, seed=52, vocab=384, max_pos=4096,
+                    arch="Qwen2VLForConditionalGeneration",
+                    extra_config={
+                        "rope_scaling": {
+                            "type": "mrope", "mrope_section": [8, 12, 12]},
+                        "vision_config": {
+                            "model_type": "qwen2", "embed_dim": 32,
+                            "num_heads": 2, "mlp_ratio": 4,
+                            "patch_size": 4, "spatial_merge_size": 2,
+                            "spatial_patch_size": 4,
+                            "temporal_patch_size": 2,
+                            "depth": 2},
+                    })
+    _add_qwen2vl_tower(d)
+    model = Model.from_dir(d)
+    from exllamav2_tpu.vlm import VisionTower
+    tower = VisionTower(model.config)
+    return model, tower
+
+
+def test_qwen2vl_generate_mrope(qwen2vl_setup):
+    model, tower = qwen2vl_setup
+    assert model.config.head_dim == 64
+    tok = ByteTokenizer(384)
+    img = (np.random.default_rng(2).random((16, 16, 3)) * 255).astype(
+        np.uint8)
+    mme = tower.get_image_embeddings(model, tok, img, text_alias="<img>")
+    # 16x16 at patch 4 -> 4x4 grid -> merge 2 -> 4 rows
+    assert mme.embeddings.shape == (4, model.static.hidden_size)
+    assert mme.thw_grid == (1, 4, 4)
+    cache = PagedKVCache.alloc(
+        model.static.num_layers, 32, model.static.num_kv_heads,
+        model.static.head_dim, "bf16")
+    gen = DynamicGenerator(model, cache, tok, max_batch_size=4)
+    from exllamav2_tpu.generator.sampler import Settings
+    out = gen.generate("scene <img> is", max_new_tokens=6,
+                       settings=Settings.greedy(), embeddings=[mme])
+    assert isinstance(out, str)
+    # the job must have picked up an MRoPE offset (image compresses 4
+    # tokens into a 2x2 grid -> offset negative)
+    # (implicitly validated by generate finishing without NaNs)
