@@ -77,9 +77,20 @@ class DynamicJob:
                  token_healing: bool = False,
                  banned_strings: list[str] | None = None,
                  negative_prompt_ids=None,
-                 embeddings: list | None = None):
+                 embeddings: list | None = None,
+                 return_top_tokens: int = 0,
+                 return_probs: bool = False,
+                 filter_prefer_eos: bool = False,
+                 post_sampling_hooks: list | None = None):
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         self.prompt_ids = ids
+        # result extras + hooks (ref dynamic.py:1612-1616, hooks.py)
+        self.return_top_tokens = return_top_tokens
+        self.return_probs = return_probs
+        self.filter_prefer_eos = filter_prefer_eos
+        self.post_sampling_hooks = post_sampling_hooks or []
+        self.last_prob: float | None = None
+        self.last_top: tuple | None = None      # (tokens, probs) np arrays
         # multimodal embeddings (dynamic_embeddings.py analog): prompt ids
         # >= 1e9 resolve into these tensors during prefill
         self.embeddings = embeddings or []
@@ -171,22 +182,41 @@ class DynamicGenerator:
                  num_draft_tokens: int = 4, use_ngram_draft: bool = False,
                  max_ngram: int = 4, mesh=None):
         # multi-chip serving: shard weights (TP splits) + paged cache
-        # (kv-head split) over the mesh; GSPMD inserts the collectives.
-        # The fused pallas kernels are not GSPMD-partitionable, so the
-        # sharded path uses the XLA dequant+matmul / gather-attention
-        # formulations (per-shard shard_map kernels are the next step).
+        # (kv-head split) over the mesh. Two modes:
+        #   * fused (preferred): the whole forward runs under shard_map —
+        #     each shard drives the fused Pallas kernels on its local
+        #     weight/KV blocks with psum/all_gather stitching (the analog
+        #     of the reference's fully-fused TP path, ext_qattn.cpp:261)
+        #   * GSPMD fallback (act-order / odd shapes / dp>1 / MM): XLA
+        #     auto-partitions the dequant+matmul formulation.
         self.mesh = mesh
+        self._tp_fused = False
+        self._fwd_last = self._fwd_full = None
         if mesh is not None:
             import dataclasses as _dc
-            from exllamav2_tpu.parallel.sharding import (
-                shard_model, shard_paged_cache)
-            st = _dc.replace(model.static, fused_matmul=False)
             from exllamav2_tpu.models.model import Model as _Model
-            model = _Model(shard_model(model.weights, st, mesh), st,
-                           model.config)
-            cache = shard_paged_cache(cache, mesh)
+            from exllamav2_tpu.parallel import sharding as S
+            tp = mesh.shape.get("tp", 1)
+            dp = mesh.shape.get("dp", 1)
+            if dp == 1 and S.tp_fusable(model.weights, model.static, tp):
+                w_tp, w_specs = S.shard_model_tp_fused(
+                    model.weights, model.static, mesh, tp)
+                cache = S.shard_paged_cache(cache, mesh)
+                cache_specs = S.paged_cache_pspecs(cache)
+                st_local = S.local_static(model.static, tp)
+                with mesh:
+                    self._fwd_last, self._fwd_full = \
+                        S.make_tp_paged_forward(mesh, st_local, w_specs,
+                                                cache_specs)
+                model = _Model(w_tp, model.static, model.config)
+                self._tp_fused = True
+            else:
+                st = _dc.replace(model.static, fused_matmul=False)
+                model = _Model(S.shard_model(model.weights, st, mesh), st,
+                               model.config)
+                cache = S.shard_paged_cache(cache, mesh)
             if draft_cache is not None:
-                draft_cache = shard_paged_cache(draft_cache, mesh)
+                draft_cache = S.shard_paged_cache(draft_cache, mesh)
         self.model = model
         self.cache = cache
         self.tokenizer = tokenizer
@@ -238,6 +268,23 @@ class DynamicGenerator:
             self._key = jax.device_put(
                 self._key, NamedSharding(mesh, PartitionSpec()))
         self._compiled = {}
+        self._bias_pool = None         # [slots+1, vocab] f32, lazy
+
+    def _sync_bias_row(self, job: DynamicJob):
+        """Upload (or clear) the job's token_bias into the device pool."""
+        tb = job.settings.token_bias
+        if tb is None and self._bias_pool is None:
+            return
+        vocab = self.model.static.vocab_size
+        if self._bias_pool is None:
+            self._bias_pool = jnp.zeros((self.num_slots + 1, vocab),
+                                        jnp.float32)
+        row = np.zeros(vocab, np.float32)
+        if tb is not None:
+            tb = np.asarray(tb, np.float32).reshape(-1)
+            row[:min(len(tb), vocab)] = tb[:vocab]
+        self._bias_pool = self._bias_pool.at[job.slot].set(
+            jnp.asarray(row))
 
     # ------------------------------------------------------------------
     # page pool
@@ -499,6 +546,7 @@ class DynamicGenerator:
             job.prompt_ids >= 1_000_000_000, 0, job.prompt_ids)
         self.hist = self._write_hist(self.hist, job.slot, 0, padded)
         self._prepare_mrope(job)
+        self._sync_bias_row(job)
         return True
 
     def _prepare_mrope(self, job: DynamicJob):
@@ -532,16 +580,32 @@ class DynamicGenerator:
     # device steps (compiled per bucket)
     # ------------------------------------------------------------------
 
+    def _paged_forward(self, w, ids, cache, bt, seqlens,
+                       last_token_only=False, pos_offsets=None,
+                       input_embeds=None, rope_rows=None):
+        """Main-model paged forward; routes through the shard_map fused
+        TP program when active."""
+        if self._tp_fused:
+            assert input_embeds is None and rope_rows is None, \
+                "multimodal prefill requires the GSPMD sharded mode"
+            po = pos_offsets if pos_offsets is not None else \
+                jnp.zeros((ids.shape[0],), jnp.int32)
+            fn = self._fwd_last if last_token_only else self._fwd_full
+            return fn(w, ids, cache, bt, seqlens, po)
+        return model_forward_paged(
+            w, self.model.static, ids, cache, bt, seqlens,
+            last_token_only=last_token_only, pos_offsets=pos_offsets,
+            input_embeds=input_embeds, rope_rows=rope_rows)
+
     def _get_prefill_fn(self, t_bucket: int, p_bucket: int):
         key = ("prefill", t_bucket, p_bucket)
         if key in self._compiled:
             return self._compiled[key]
-        st = self.model.static
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fn(w, cache, ids, block_table, cache_seqlen):
-            _, cache = model_forward_paged(
-                w, st, ids, cache, block_table, cache_seqlen,
+            _, cache = self._paged_forward(
+                w, ids, cache, block_table, cache_seqlen,
                 last_token_only=True)
             return cache
 
@@ -570,7 +634,8 @@ class DynamicGenerator:
         key = ("prefill_mm", t_bucket, p_bucket, with_rope)
         if key in self._compiled:
             return self._compiled[key]
-        st = self.model.static
+        assert not self._tp_fused, \
+            "multimodal prefill requires the GSPMD sharded mode"
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fn(w, cache, embeds, block_table, cache_seqlen,
@@ -578,8 +643,9 @@ class DynamicGenerator:
             rope = (sin_rows, cos_rows) if with_rope else None
             ids = jnp.zeros(embeds.shape[:2], jnp.int32)
             _, cache = model_forward_paged(
-                w, st, ids, cache, block_table, cache_seqlen,
-                last_token_only=True, input_embeds=embeds, rope_rows=rope)
+                w, self.model.static, ids, cache, block_table,
+                cache_seqlen, last_token_only=True, input_embeds=embeds,
+                rope_rows=rope)
             return cache
 
         self._compiled[key] = fn
@@ -638,8 +704,8 @@ class DynamicGenerator:
             b = b_bucket
             t0 = hist[slots, seqlens][:, None]
             ids = jnp.concatenate([t0, jnp.maximum(draft_ids, 0)], axis=1)
-            logits, cache = model_forward_paged(
-                w, st, ids, cache, bts, seqlens)
+            logits, cache = self._paged_forward(w, ids, cache, bts,
+                                                seqlens)
             v = logits.shape[-1]
             lg = logits.reshape(b * (d + 1), v)
             # penalties approximated with the pre-draft context for all
@@ -665,21 +731,26 @@ class DynamicGenerator:
         return fn
 
     def _get_decode_fn(self, b_bucket: int, p_bucket: int,
-                       masked: bool = False, use_dry: bool = False):
-        key = ("decode", b_bucket, p_bucket, masked, use_dry)
+                       masked: bool = False, use_dry: bool = False,
+                       biased: bool = False, topk: int = 0):
+        key = ("decode", b_bucket, p_bucket, masked, use_dry, biased, topk)
         if key in self._compiled:
             return self._compiled[key]
         st = self.model.static
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def fn(w, cache, hist, block_tables, cache_seqlens, slots,
-               params, rkey, pos_off, packed_mask=None):
+               params, rkey, pos_off, bias_pool=None, packed_mask=None):
             from exllamav2_tpu.ops.sampling import unpack_mask, apply_dry
             ids = hist[slots, cache_seqlens][:, None]          # [B, 1]
-            logits, cache = model_forward_paged(
-                w, st, ids, cache, block_tables, cache_seqlens,
+            logits, cache = self._paged_forward(
+                w, ids, cache, block_tables, cache_seqlens,
                 last_token_only=True, pos_offsets=pos_off)
             lg = logits[:, -1, :]
+            if biased:
+                # per-job additive token bias (ref sampler.py:471-477),
+                # resident in a device pool uploaded once per job
+                lg = lg + bias_pool[slots]
             lg = apply_penalties(lg, hist[slots], cache_seqlens + 1, params)
             if use_dry:
                 lg = apply_dry(lg, hist[slots], cache_seqlens + 1,
@@ -689,6 +760,12 @@ class DynamicGenerator:
             lf = unpack_mask(packed_mask, lg.shape[-1]) if masked else None
             toks, probs, mu = sample(rkey, lg, params, logit_filter=lf)
             hist = hist.at[slots, cache_seqlens + 1].set(toks)
+            if topk:
+                dist = jax.nn.softmax(
+                    jnp.where(lf, lg, -jnp.inf) if lf is not None else lg,
+                    axis=-1)
+                tp, tt = jax.lax.top_k(dist, topk)
+                return cache, hist, toks, probs, mu, tt, tp
             return cache, hist, toks, probs, mu
 
         self._compiled[key] = fn
@@ -929,21 +1006,39 @@ class DynamicGenerator:
         pos_off = np.zeros((b_bucket,), np.int32)
         for i, job in enumerate(jobs):
             pos_off[i] = job.mrope_offset
+        biased = self._bias_pool is not None and any(
+            j.settings.token_bias is not None for j in jobs)
+        topk = max((j.return_top_tokens for j in jobs), default=0)
+        topk = _bucket(topk, 4) if topk else 0
         self._key, sub = jax.random.split(self._key)
-        fn = self._get_decode_fn(b_bucket, p_bucket, any_masked, use_dry)
+        fn = self._get_decode_fn(b_bucket, p_bucket, any_masked, use_dry,
+                                 biased, topk)
         args = (self.model.weights, self.cache, self.hist,
                 bts, seqlens, slots, params, sub, pos_off)
+        kw = {}
+        if biased:
+            kw["bias_pool"] = self._bias_pool
         if any_masked:
-            self.cache, self.hist, toks, probs, mu = fn(*args, packed)
+            kw["packed_mask"] = packed
+        out = fn(*args, **kw)
+        if topk:
+            self.cache, self.hist, toks, probs, mu, tt, tp = out
+            tt_h, tp_h = np.asarray(tt), np.asarray(tp)
         else:
-            self.cache, self.hist, toks, probs, mu = fn(*args)
+            self.cache, self.hist, toks, probs, mu = out
+            tt_h = tp_h = None
 
         toks_h = np.asarray(toks)
         mu_h = np.asarray(mu)
+        probs_h = np.asarray(probs)
         now = time.perf_counter()
         for i, job in enumerate(jobs):
             tok = int(toks_h[i])
             job.mirostat_mu = float(mu_h[i])
+            job.last_prob = float(probs_h[i])
+            if tt_h is not None and job.return_top_tokens:
+                k = job.return_top_tokens
+                job.last_top = (tt_h[i, :k].copy(), tp_h[i, :k].copy())
             job.kv_pos += 1
             job.sequence = np.append(job.sequence, np.int32(tok))
             job.new_tokens += 1
@@ -964,8 +1059,8 @@ class DynamicGenerator:
         def fn(w, cache, hist, bts, seqlens, slots, params, cfg_scale,
                rkey):
             ids = hist[slots, seqlens][:, None]
-            logits, cache = model_forward_paged(
-                w, st, ids, cache, bts, seqlens, last_token_only=True)
+            logits, cache = self._paged_forward(
+                w, ids, cache, bts, seqlens, last_token_only=True)
             lsm = jax.nn.log_softmax(logits[:, -1, :], axis=-1)
             cond, uncond = lsm[0::2], lsm[1::2]
             mixed = cfg_scale[:, None] * cond \
@@ -1118,16 +1213,36 @@ class DynamicGenerator:
                 if job.healing_token < len(pieces) else ""
             allow = np.zeros(vocab, bool)
             if pre:
-                for t, p in enumerate(pieces):
-                    if p.startswith(pre):
-                        allow[t] = True
+                # sorted-prefix binary search: O(log V + matches) instead
+                # of scanning the vocab (ref tokenizer.py:703-734 analog)
+                ids = self.tokenizer.prefix_ids(pre) \
+                    if hasattr(self.tokenizer, "prefix_ids") else None
+                if ids is not None:
+                    ids = ids[ids < vocab]
+                    allow[ids] = True
+                else:
+                    for t, p in enumerate(pieces):
+                        if p.startswith(pre):
+                            allow[t] = True
             else:
                 allow[:] = True
+        eos_ids = [t for t in (self.tokenizer.eos_set() | job.stop_tokens)
+                   if 0 <= t < vocab]
         for f in job.filters:
             if f.is_completed():
                 continue
-            ps, _es = f.next()
+            ps, es = f.next()
             if ps is None:
+                continue
+            # filter_prefer_eos: when a stop token is currently allowed,
+            # force it (dynamic.py filter_prefer_eos semantics)
+            if job.filter_prefer_eos and es and any(t in es or t in ps
+                                                    for t in eos_ids):
+                m = np.zeros(vocab, bool)
+                for t in eos_ids:
+                    if t in es or t in ps:
+                        m[t] = True
+                allow = m if allow is None else (allow & m)
                 continue
             m = np.zeros(vocab, bool)
             if ps:
@@ -1148,8 +1263,20 @@ class DynamicGenerator:
     def _emit(self, job: DynamicJob, tok: int, results: list[dict]):
         eos = False
         job.blocked_tokens.clear()          # one-shot rewind blocks
-        for f in job.filters:
-            f.feed(tok)
+        feed_filters = True
+        if job.post_sampling_hooks:
+            from exllamav2_tpu.generator.hooks import PostSamplingResult
+            psr = PostSamplingResult(
+                sampled_token=tok,
+                sampled_prob=job.last_prob,
+                candidate_tokens=job.last_top[0] if job.last_top else None,
+                candidate_probs=job.last_top[1] if job.last_top else None)
+            for hook in job.post_sampling_hooks:
+                hook(psr)
+            feed_filters = psr.feed_filters
+        if feed_filters:
+            for f in job.filters:
+                f.feed(tok)
         if tok in job.stop_tokens or tok in self.tokenizer.eos_set():
             eos = True
             job.eos_reason = "stop_token"
@@ -1256,6 +1383,11 @@ class DynamicGenerator:
         r = {"job": job, "stage": "streaming", "eos": eos,
              "text": new_text, "token_ids": np.asarray([tok]),
              "identifier": job.identifier, "serial": id(job)}
+        if job.return_probs and job.last_prob is not None:
+            r["token_probs"] = np.asarray([job.last_prob], np.float32)
+        if job.return_top_tokens and job.last_top is not None:
+            r["top_k_tokens"] = job.last_top[0][None]
+            r["top_k_probs"] = job.last_top[1][None]
         if eos:
             job.status = "done"
             t_gen = max(job.time_last_token - job.time_first_token, 1e-9)

@@ -39,6 +39,20 @@ def _fz(st: StaticModel):
     return None if st.fused_matmul else False
 
 
+def _tp_gather(x, st: StaticModel):
+    """All-gather feature shards across the TP axis (inside shard_map).
+
+    The fused TP layout column-shards every linear (a lane split of the
+    packed planes is always clean, unlike K-row splits which would have
+    to respect the 256-row pack blocks), so activations are re-assembled
+    with tiled all-gathers over ICI — the analog of the reference's
+    pinned-host gather/allgather (ext_tp.cpp:210-330)."""
+    if st.tp_axis is not None:
+        return jax.lax.all_gather(x, st.tp_axis, axis=x.ndim - 1,
+                                  tiled=True)
+    return x
+
+
 def norm_apply(x: jax.Array, w: NormWeights, st: StaticModel) -> jax.Array:
     """RMS or LayerNorm in f32 (rms_norm.cu / layer_norm.cu analog)."""
     xf = x.astype(jnp.float32)
@@ -113,15 +127,17 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
     scale = st.attn_scale if st.attn_scale is not None else hd ** -0.5
     window = st.layers[layer].sliding_window if st.layers else 0
 
-    # fused flash-decode kernel for the single-token hot path
-    if (t == 1 and st.attn_logit_softcap == 0.0 and window == 0
-            and attn_limit is not None and st.fused_matmul
-            and hd % 128 == 0):
+    # fused flash-decode kernel for the single-token hot path (softcap,
+    # SWA and head_dim < 128 are in-kernel since round 2)
+    if (t == 1 and attn_limit is not None and st.fused_matmul
+            and hd % 32 == 0):
         from exllamav2_tpu.ops.decode_attn import decode_attention
         out = decode_attention(q[:, 0], cache.k, cache.v, layer, past_len,
-                               attn_limit, float(scale))
-        out = out.astype(jnp.bfloat16).reshape(b, hq * hd)
-        out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, 1, -1)
+                               attn_limit, float(scale),
+                               float(st.attn_logit_softcap), int(window))
+        out = _tp_gather(out.astype(jnp.bfloat16).reshape(b, hq * hd), st)
+        out = linear_apply(out, aw.o, fused=_fz(st))
+        out = _tp_gather(out, st).reshape(b, 1, -1)
         if aw.norm_post is not None:
             out = norm_apply(out, aw.norm_post, st)
         return out, cache
@@ -150,8 +166,9 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
     probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
     out = jnp.einsum("bkgts,bksd->btkgd", probs, cv,
                      preferred_element_type=jnp.float32)
-    out = out.astype(jnp.bfloat16).reshape(b * t, hq * hd)
-    out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, t, -1)
+    out = _tp_gather(out.astype(jnp.bfloat16).reshape(b * t, hq * hd), st)
+    out = linear_apply(out, aw.o, fused=_fz(st))
+    out = _tp_gather(out, st).reshape(b, t, -1)
     if aw.norm_post is not None:
         out = norm_apply(out, aw.norm_post, st)
     return out, cache
@@ -173,8 +190,9 @@ def attn_forward_paged(x: jax.Array, aw: AttnWeights, st: StaticModel,
                           scale=scale, window=window,
                           softcap=st.attn_logit_softcap,
                           allow_kernel=st.fused_matmul)
-    out = out.astype(jnp.bfloat16).reshape(b * t, hq * hd)
-    out = linear_apply(out, aw.o, fused=_fz(st)).reshape(b, t, -1)
+    out = _tp_gather(out.astype(jnp.bfloat16).reshape(b * t, hq * hd), st)
+    out = linear_apply(out, aw.o, fused=_fz(st))
+    out = _tp_gather(out, st).reshape(b, t, -1)
     if aw.norm_post is not None:
         out = norm_apply(out, aw.norm_post, st)
     return out, cache
@@ -250,6 +268,9 @@ def model_forward_paged(w: ModelWeights, st: StaticModel, ids: jax.Array,
     logits = linear_apply(
         x.reshape(bt, st.hidden_size), w.head,
         fused=_fz(st)).astype(jnp.float32)
+    if st.tp_axis is not None:
+        # vocab-split head: reassemble the full logit row (_VC split)
+        logits = jax.lax.all_gather(logits, st.tp_axis, axis=1, tiled=True)
     logits = logits.reshape(x.shape[0], x.shape[1], -1)
     if st.logit_scale != 1.0:
         logits = logits * st.logit_scale
@@ -279,7 +300,9 @@ def mlp_forward(x: jax.Array, mw: MLPWeights, st: StaticModel) -> jax.Array:
         inter = _act(gate, st.mlp_act) * up
     else:
         inter = _act(up, st.mlp_act)
-    out = linear_apply(inter.astype(jnp.bfloat16), mw.down, fused=_fz(st))
+    inter = _tp_gather(inter.astype(jnp.bfloat16), st)
+    out = linear_apply(inter, mw.down, fused=_fz(st))
+    out = _tp_gather(out, st)
     out = out.reshape(b, t, -1)
     if mw.norm_post is not None:
         out = norm_apply(out, mw.norm_post, st)
@@ -321,7 +344,9 @@ def moe_forward(x: jax.Array, mw: MoEWeights, st: StaticModel) -> jax.Array:
             gate = linear_apply(hb, mw.w1[e], fused=_fz(st))
             up = linear_apply(hb, mw.w3[e], fused=_fz(st))
             inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
+            inter = _tp_gather(inter, st)
             y = linear_apply(inter, mw.w2[e], fused=_fz(st))               # [BT, d]
+            y = _tp_gather(y, st)
             return y * mix[:, e:e + 1]
 
         if not sparse:
@@ -405,6 +430,9 @@ def model_forward(w: ModelWeights, st: StaticModel, ids: jax.Array,
     logits = linear_apply(
         x.reshape(bt, st.hidden_size), w.head,
         fused=_fz(st)).astype(jnp.float32)
+    if st.tp_axis is not None:
+        # vocab-split head: reassemble the full logit row (_VC split)
+        logits = jax.lax.all_gather(logits, st.tp_axis, axis=1, tiled=True)
     logits = logits.reshape(x.shape[0], x.shape[1], -1)
     if st.logit_scale != 1.0:
         logits = logits * st.logit_scale

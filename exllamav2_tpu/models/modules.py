@@ -141,8 +141,12 @@ class StaticModel:
     scale_depth: float = 1.0          # minicpm/granite residual multiplier
     learned_pos_emb: bool = False     # gpt2: add pos_emb rows after embed
     # False forces the dequant+XLA-matmul path everywhere (multi-device GSPMD
-    # can't partition a pallas custom call; shard_map kernels come later)
+    # can't partition a pallas custom call on its own; the fused sharded
+    # path wraps the forward in shard_map instead — see parallel/sharding)
     fused_matmul: bool = True
+    # set inside shard_map: mesh axis name for TP collectives; head/kv
+    # counts in this StaticModel are then PER-SHARD values
+    tp_axis: str | None = None
     layers: tuple = ()                # tuple[LayerStatic, ...]
     # MoE
     num_experts: int = 0

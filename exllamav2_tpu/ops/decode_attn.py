@@ -24,13 +24,15 @@ __all__ = ["decode_attention"]
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from exllamav2_tpu.ops.qmm import _interpret as q
+    return q()
 
 
-@functools.partial(jax.jit, static_argnums=(3, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7, 8))
 def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      layer: int, past_len: jax.Array, limit: int,
-                     scale: float) -> jax.Array:
+                     scale: float, softcap: float = 0.0,
+                     window: int = 0) -> jax.Array:
     """q [B, Hq, D] (t=1), k/v FULL cache [L, B, Hkv, S, D]
     -> out [B, Hq, D] f32.
 
@@ -41,6 +43,8 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     Attends to positions 0..past_len (inclusive — the current token's K/V
     must already be written). `limit` (static) bounds the S rows read.
+    softcap > 0 applies tanh capping; window > 0 limits attention to the
+    trailing window (attn.py:216-221, 591-595 analogs).
     """
     b, hq, d = q.shape
     hkv, s_max = k.shape[2], k.shape[3]
@@ -64,8 +68,13 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         past = pl_ref[0]
         sc = jnp.sum(kk[:, None] * qh[:, :, None, :], axis=3) \
             * scale                                   # [HB, G, L]
+        if softcap > 0.0:
+            sc = jnp.tanh(sc * (1.0 / softcap)) * softcap
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, limit), 2)
-        sc = jnp.where(pos <= past, sc, -1e30)
+        valid = pos <= past
+        if window > 0:
+            valid = jnp.logical_and(valid, pos > past - window)
+        sc = jnp.where(valid, sc, -1e30)
         m = jnp.max(sc, axis=2, keepdims=True)
         e = jnp.exp(sc - m)
         p = e / jnp.sum(e, axis=2, keepdims=True)

@@ -37,7 +37,7 @@ def _dq_block(data, scales, kind):
     """In-kernel page dequant -> f32 [page, D] WITHOUT the inverse
     Hadamard (folded into the caller's q pre-rotation / output
     post-rotation — the rotation commutes through the dot products)."""
-    if kind == "bf16":
+    if kind in ("bf16", "fp8"):
         return data.astype(jnp.float32)
     if kind == "q8":
         v = data.astype(jnp.int32).astype(jnp.float32) - 128.0
@@ -51,14 +51,16 @@ def _dq_block(data, scales, kind):
     raise ValueError(kind)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(3, 8, 9, 10, 11, 12, 13))
 def paged_decode_attention(q: jax.Array, k_data: jax.Array,
                            v_data: jax.Array, layer: int,
                            block_table: jax.Array, valid_lens: jax.Array,
                            k_scales, v_scales,
                            scale: float, page_size: int, hq: int,
-                           kinds: tuple = ("bf16", "bf16")) -> jax.Array:
-    """Fused paged flash-decode (t = 1), bf16 cache kind.
+                           kinds: tuple = ("bf16", "bf16"),
+                           softcap: float = 0.0,
+                           window: int = 0) -> jax.Array:
+    """Fused paged flash-decode (t = 1).
 
     q [B, Hq, D]; k/v_data FULL pool [L, Hkv, rows, D]; block_table [B, P]
     (page indices, padding rows -> null page); valid_lens [B] = number of
@@ -66,6 +68,12 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
     [Hkv, page, D] block per grid step via the scalar-prefetched block
     table (the TPU analog of flash_attn_with_kvcache + block tables,
     attn.py:602-613) with online-softmax accumulation across pages.
+
+    softcap > 0 applies tanh score capping (Gemma2, attn.py:216-221);
+    window > 0 restricts attention to the trailing `window` positions
+    (sliding-window decode, flash-attn window kwarg attn.py:591-595) —
+    pages wholly outside the window are skipped, so SWA decode streams
+    only O(window) KV bytes.
     """
     b, _, d = q.shape
     nl, hkv, rows = k_data.shape[:3]
@@ -99,8 +107,13 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
 
         vlb = vl_ref[bi]
         start = pi * page_size
+        live = start < vlb
+        if window > 0:
+            # decode: the single query sits at position vlb-1; pages that
+            # end before vlb-window hold only out-of-window keys
+            live = jnp.logical_and(live, start + page_size > vlb - window)
 
-        @pl.when(start < vlb)
+        @pl.when(live)
         def _():
             pos = jax.lax.broadcasted_iota(
                 jnp.int32, (1, page_size), 1) + start
@@ -113,7 +126,12 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
                 s = jax.lax.dot_general(
                     qh, kk, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
-                s = jnp.where(pos < vlb, s, -1e30)
+                if softcap > 0.0:
+                    s = jnp.tanh(s * (1.0 / softcap)) * softcap
+                valid = pos < vlb
+                if window > 0:
+                    valid = jnp.logical_and(valid, pos >= vlb - window)
+                s = jnp.where(valid, s, -1e30)
                 m_prev = m_ref[h, :g, :1]
                 l_prev = l_ref[h, :g, :1]
                 m_curr = jnp.max(s, axis=1, keepdims=True)
@@ -167,11 +185,13 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
             pltpu.VMEM((hkv, gpad, d), jnp.float32),
         ],
     )
+    from exllamav2_tpu.ops.qmm import _interpret as _kern_interp
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_kern_interp(),
     )(block_table, valid_lens, *args)
     return out.reshape(b, 1, hq, d)
 
@@ -194,15 +214,19 @@ def paged_attention(q: jax.Array, cache, layer: int,
     # folded into a q pre-rotation and V-side into an output rotation)
     from exllamav2_tpu.cache_paged import _kinds
     kk_kind, vv_kind = _kinds(cache.kind)
-    if (allow_kernel and t == 1 and window == 0 and softcap == 0.0
-            and d % 128 == 0
-            and kk_kind in ("bf16", "q4", "q8")
-            and vv_kind in ("bf16", "q4", "q8")
-            and jax.default_backend() == "tpu"):
+    from exllamav2_tpu.ops.qmm import _interpret as _kern_interp, \
+        _INTERPRET_OVERRIDE
+    on_tpu = (jax.default_backend() == "tpu"
+              and _INTERPRET_OVERRIDE[0] is not True) \
+        or _INTERPRET_OVERRIDE[0] is True
+    if (allow_kernel and t == 1 and d % 32 == 0
+            and kk_kind in ("bf16", "fp8", "q4", "q8")
+            and vv_kind in ("bf16", "fp8", "q4", "q8")
+            and on_tpu):
         from exllamav2_tpu.ops.kvquant import hadamard32
         qd = q[:, 0].astype(jnp.bfloat16)
         eff_scale = float(scale)
-        if kk_kind != "bf16":
+        if kk_kind in ("q4", "q8"):
             h32 = hadamard32(jnp.float32)
             qr = qd.astype(jnp.float32).reshape(b, hq, d // 32, 32)
             qd = jnp.einsum("...i,ij->...j", qr, h32).reshape(
@@ -211,8 +235,9 @@ def paged_attention(q: jax.Array, cache, layer: int,
         out = paged_decode_attention(
             qd, cache.k_data, cache.v_data, layer, block_table,
             cache_seqlens + 1, cache.k_scales, cache.v_scales,
-            eff_scale, cache.page_size, hq, (kk_kind, vv_kind))
-        if vv_kind != "bf16":
+            eff_scale, cache.page_size, hq, (kk_kind, vv_kind),
+            float(softcap), int(window))
+        if vv_kind in ("q4", "q8"):
             h32 = hadamard32(jnp.float32)
             o = out.astype(jnp.float32).reshape(b, 1, hq, d // 32, 32)
             out = (jnp.einsum("...i,ij->...j", o, h32)

@@ -36,7 +36,16 @@ FUSED_MAX_ROWS = 32
 _M_PAD = 16
 
 
+# trace-scoped override: the fused sharded path runs its shard_map trace
+# with this set when the mesh devices are not TPUs (virtual CPU meshes),
+# because jax.default_backend() reports the process default, not the
+# mesh platform
+_INTERPRET_OVERRIDE = [None]
+
+
 def _interpret() -> bool:
+    if _INTERPRET_OVERRIDE[0] is not None:
+        return _INTERPRET_OVERRIDE[0]
     return jax.default_backend() != "tpu"
 
 

@@ -165,3 +165,247 @@ def shard_paged_cache(cache, mesh: Mesh):
                       k_scales=put(cache.k_scales),
                       v_data=put(cache.v_data),
                       v_scales=put(cache.v_scales))
+
+
+# ---------------------------------------------------------------------------
+# Fused sharded serving: shard_map around the Pallas-kernel forward
+# (reference analog: fully-fused TP attention, ext_qattn.cpp:261-439)
+# ---------------------------------------------------------------------------
+
+def _tp_fusable_linear(lin) -> bool:
+    """The fused TP path needs clean per-shard blocks: no act-order perm
+    (a row permutation mixes shards' K-blocks) and a single uniform
+    segment; anything else uses the GSPMD unfused path."""
+    if isinstance(lin, DenseLinear) or lin is None:
+        return True
+    return lin.perm is None and len(lin.segments) == 1
+
+
+def tp_fusable(w: ModelWeights, st: StaticModel, tp: int) -> bool:
+    """Every linear is COLUMN-sharded in the fused TP mode (a lane split
+    of the packed planes is always clean; K-row splits would have to
+    respect the 256-row pack blocks, which real 11008-wide MLPs cannot).
+    Feasibility therefore only needs head counts and out-features to
+    split evenly, single-segment layouts, and no act-order perms."""
+    if tp <= 1:
+        return False
+    if st.num_kv_heads % tp or st.num_heads % tp:
+        return False
+    if st.parallel_blocks:
+        return False                     # shared-norm blocks: keep GSPMD
+    for lw in w.layers:
+        lins = [lw.attn.q, lw.attn.k, lw.attn.v, lw.attn.o]
+        if isinstance(lw.mlp, MoEWeights):
+            lins += list(lw.mlp.w1) + list(lw.mlp.w2) + list(lw.mlp.w3)
+        else:
+            lins += [lw.mlp.gate, lw.mlp.up, lw.mlp.down]
+        for lin in lins:
+            if not _tp_fusable_linear(lin):
+                return False
+            if isinstance(lin, QuantLinear) and (
+                    lin.n % tp or lin.n != lin.n_orig):
+                # lane-padded widths would interleave pad columns into
+                # the gathered activations; only the head may be padded
+                # (its pad sits at the global end and is sliced after
+                # the logits gather)
+                return False
+    if isinstance(w.head, QuantLinear) and (
+            not _tp_fusable_linear(w.head) or w.head.n % tp):
+        return False
+    return True
+
+
+def _tpf_linear(lin, mesh, kind: str, tp: int):
+    """Place a linear for the shard_map path, rewriting static meta to the
+    PER-SHARD view (shard_map hands each program its local block, so k/n
+    metadata must describe the local shapes)."""
+    if lin is None:
+        return None, None
+    if isinstance(lin, DenseLinear):
+        if kind == "col":
+            w = _put(lin.weight, mesh, P(None, "tp"))
+            b = _put(lin.bias, mesh, P("tp")) if lin.bias is not None \
+                else None
+            return DenseLinear(weight=w, bias=b), DenseLinear(
+                weight=P(None, "tp"),
+                bias=P("tp") if lin.bias is not None else None)
+        return (DenseLinear(weight=_put(lin.weight, mesh, P()),
+                            bias=_put(lin.bias, mesh, P())
+                            if lin.bias is not None else None),
+                DenseLinear(weight=P(),
+                            bias=P() if lin.bias is not None else None))
+    assert isinstance(lin, QuantLinear)
+    assert kind == "col", kind
+    seg = lin.segments[0]
+    if kind == "col":
+        arr_spec = P(None, "tp")
+        seg2 = dataclasses.replace(
+            seg,
+            planes=tuple(_put(p, mesh, arr_spec) for p in seg.planes))
+        if hasattr(seg, "qscale"):
+            seg2 = dataclasses.replace(
+                seg2, qscale=_put(seg.qscale, mesh, arr_spec),
+                smax=_put(seg.smax, mesh, P()))
+            sseg = dataclasses.replace(
+                seg, planes=tuple(arr_spec for _ in seg.planes),
+                qscale=arr_spec, smax=P())
+        else:
+            seg2 = dataclasses.replace(
+                seg2, scale=_put(seg.scale, mesh, arr_spec),
+                zero=_put(seg.zero, mesh, arr_spec))
+            sseg = dataclasses.replace(
+                seg, planes=tuple(arr_spec for _ in seg.planes),
+                scale=arr_spec, zero=arr_spec)
+        nl = lin.n // tp
+        bias = _put(lin.bias, mesh, P("tp")) if lin.bias is not None \
+            else None
+        out = QuantLinear(segments=(seg2,), perm=None, bias=bias,
+                          k=lin.k, n=nl, n_orig=nl)
+        spec = QuantLinear(segments=(sseg,), perm=None,
+                           bias=P("tp") if lin.bias is not None else None,
+                           k=lin.k, n=nl, n_orig=nl)
+        return out, spec
+    raise AssertionError(kind)
+
+
+def _tpf_norm(nw, mesh):
+    if nw is None:
+        return None, None
+    return (_shard_norm(nw, mesh),
+            NormWeights(weight=P(),
+                        bias=P() if nw.bias is not None else None))
+
+
+def shard_model_tp_fused(w: ModelWeights, st: StaticModel, mesh: Mesh,
+                         tp: int):
+    """-> (placed weights with per-shard meta, matching PartitionSpec
+    pytree) for the shard_map fused serving path."""
+    layers_w, layers_s = [], []
+    for lw in w.layers:
+        aw, as_ = {}, {}
+        for nm, kind in (("q", "col"), ("k", "col"), ("v", "col"),
+                         ("o", "col")):
+            aw[nm], as_[nm] = _tpf_linear(getattr(lw.attn, nm), mesh,
+                                          kind, tp)
+        n1w, n1s = _tpf_norm(lw.attn.norm, mesh)
+        qn_w, qn_s = _tpf_norm(lw.attn.q_norm, mesh)
+        kn_w, kn_s = _tpf_norm(lw.attn.k_norm, mesh)
+        np_w, np_s = _tpf_norm(lw.attn.norm_post, mesh)
+        attn_w = AttnWeights(norm=n1w, q=aw["q"], k=aw["k"], v=aw["v"],
+                             o=aw["o"], q_norm=qn_w, k_norm=kn_w,
+                             norm_post=np_w)
+        attn_s = AttnWeights(norm=n1s, q=as_["q"], k=as_["k"], v=as_["v"],
+                             o=as_["o"], q_norm=qn_s, k_norm=kn_s,
+                             norm_post=np_s)
+        n2w, n2s = _tpf_norm(lw.mlp.norm, mesh)
+        npw, nps = _tpf_norm(getattr(lw.mlp, "norm_post", None), mesh)
+        if isinstance(lw.mlp, MoEWeights):
+            rw, rs = _tpf_linear(lw.mlp.router, mesh, "rep", tp)
+            w1 = [_tpf_linear(e, mesh, "col", tp) for e in lw.mlp.w1]
+            w2 = [_tpf_linear(e, mesh, "col", tp) for e in lw.mlp.w2]
+            w3 = [_tpf_linear(e, mesh, "col", tp) for e in lw.mlp.w3]
+            mlp_w = MoEWeights(norm=n2w, router=rw,
+                               w1=tuple(a for a, _ in w1),
+                               w2=tuple(a for a, _ in w2),
+                               w3=tuple(a for a, _ in w3), norm_post=npw)
+            mlp_s = MoEWeights(norm=n2s, router=rs,
+                               w1=tuple(b for _, b in w1),
+                               w2=tuple(b for _, b in w2),
+                               w3=tuple(b for _, b in w3), norm_post=nps)
+        else:
+            gw, gs = _tpf_linear(lw.mlp.gate, mesh, "col", tp)
+            uw, us = _tpf_linear(lw.mlp.up, mesh, "col", tp)
+            dw, ds = _tpf_linear(lw.mlp.down, mesh, "col", tp)
+            mlp_w = MLPWeights(norm=n2w, gate=gw, up=uw, down=dw,
+                               norm_post=npw)
+            mlp_s = MLPWeights(norm=n2s, gate=gs, up=us, down=ds,
+                               norm_post=nps)
+        layers_w.append(LayerWeights(attn=attn_w, mlp=mlp_w))
+        layers_s.append(LayerWeights(attn=attn_s, mlp=mlp_s))
+    fn_w, fn_s = _tpf_norm(w.final_norm, mesh)
+    hd_w, hd_s = _tpf_linear(w.head, mesh, "col", tp)
+    wm = ModelWeights(
+        embed=_put(w.embed, mesh, P()), layers=tuple(layers_w),
+        final_norm=fn_w, head=hd_w,
+        sin=_put(w.sin, mesh, P()), cos=_put(w.cos, mesh, P()),
+        pos_emb=_put(w.pos_emb, mesh, P())
+        if w.pos_emb is not None else None,
+        sin_alt=_put(w.sin_alt, mesh, P())
+        if w.sin_alt is not None else None,
+        cos_alt=_put(w.cos_alt, mesh, P())
+        if w.cos_alt is not None else None)
+    sm = ModelWeights(
+        embed=P(), layers=tuple(layers_s), final_norm=fn_s, head=hd_s,
+        sin=P(), cos=P(),
+        pos_emb=P() if w.pos_emb is not None else None,
+        sin_alt=P() if w.sin_alt is not None else None,
+        cos_alt=P() if w.cos_alt is not None else None)
+    return wm, sm
+
+
+def paged_cache_pspecs(cache):
+    """PartitionSpec pytree matching shard_paged_cache placement."""
+    import dataclasses as dc
+    spec = P(None, "tp", None, None)
+
+    def put(x):
+        return None if x is None else spec
+
+    return dc.replace(cache, k_data=put(cache.k_data),
+                      k_scales=put(cache.k_scales),
+                      v_data=put(cache.v_data),
+                      v_scales=put(cache.v_scales))
+
+
+def local_static(st: StaticModel, tp: int) -> StaticModel:
+    """Per-shard StaticModel for use inside shard_map."""
+    return dataclasses.replace(
+        st, num_heads=st.num_heads // tp,
+        num_kv_heads=st.num_kv_heads // tp,
+        tp_axis="tp", fused_matmul=True)
+
+
+def make_tp_paged_forward(mesh: Mesh, st_local: StaticModel,
+                          w_specs, cache_specs):
+    """shard_map-wrapped model_forward_paged: every shard runs the fused
+    Pallas kernels on its local weight/KV blocks; psum / all_gather inside
+    the forward (models/forward.py _tp_sum) stitch the results — the TPU
+    analog of the reference's fully-fused TP attention
+    (ext_qattn.cpp:261-439) with ICI collectives instead of pinned-host
+    staging."""
+    try:
+        from jax import shard_map
+    except ImportError:                      # older jax
+        from jax.experimental.shard_map import shard_map
+    from exllamav2_tpu.models.forward import model_forward_paged
+
+    interp = mesh.devices.flat[0].platform != "tpu"
+
+    def fwd(w, ids, cache, block_table, cache_seqlens, pos_off,
+            last_token_only):
+        from exllamav2_tpu.ops import qmm as _q
+        prev = _q._INTERPRET_OVERRIDE[0]
+        _q._INTERPRET_OVERRIDE[0] = interp
+        try:
+            logits, cache = model_forward_paged(
+                w, st_local, ids, cache, block_table, cache_seqlens,
+                last_token_only=last_token_only, pos_offsets=pos_off)
+        finally:
+            _q._INTERPRET_OVERRIDE[0] = prev
+        return logits, cache
+
+    def make(last_token_only: bool):
+        body = lambda w, i, c, bt, sl, po: fwd(w, i, c, bt, sl, po,
+                                               last_token_only)
+        kw = dict(mesh=mesh,
+                  in_specs=(w_specs, P(), cache_specs, P(), P(), P()),
+                  out_specs=(P(), cache_specs))
+        # replication checking kw was renamed across jax versions
+        for flag in ({"check_vma": False}, {"check_rep": False}, {}):
+            try:
+                return shard_map(body, **kw, **flag)
+            except TypeError:
+                continue
+        raise RuntimeError("shard_map signature mismatch")
+
+    return make(True), make(False)

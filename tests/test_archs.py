@@ -1,6 +1,10 @@
 """Architecture-family coverage: Phi3 fused tensors, Qwen2 bias, Gemma2
 softcap/SWA, Qwen3 qk-norm, Cohere parallel blocks."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

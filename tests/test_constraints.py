@@ -1,5 +1,9 @@
 """Filters, token healing, banned strings, DRY, async wrapper tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import asyncio
 
 import numpy as np

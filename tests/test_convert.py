@@ -1,5 +1,9 @@
 """Conversion pipeline tests: GPTQ engine + end-to-end convert/load."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -1,5 +1,9 @@
 """Perplexity eval + websocket server tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import asyncio
 import json
 

@@ -1,5 +1,9 @@
 """Dynamic generator tests: batching, dedup, stop handling, consistency."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """Partial-page reuse, defrag, legacy generator APIs, MoE model."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

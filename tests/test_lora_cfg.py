@@ -1,5 +1,9 @@
 """LoRA loading/application + CFG generation tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import json
 import os
 

@@ -1,5 +1,9 @@
 """End-to-end model tests against the numpy reference and cache invariants."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """KV quantization + paged cache/attention tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

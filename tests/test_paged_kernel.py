@@ -1,5 +1,9 @@
 """Paged flash-decode kernel path (head_dim=128) vs linear-cache greedy."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 
@@ -87,3 +91,79 @@ def test_kernel_path_batch(model128):
             model.static.head_dim, "bf16"), tk)
         assert g2.generate(p, max_new_tokens=8,
                            settings=Settings.greedy()) == o, p
+
+
+def _one_decode_logits(model, cache_kind, softcap=0.0, window=0,
+                       allow_kernel=True):
+    """Prefill 8 tokens then one decode step through the paged path,
+    with the kernel force-enabled or force-disabled."""
+    import functools
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    from exllamav2_tpu.models.forward import model_forward_paged
+    ids = np.array([[3, 17, 200, 9, 55, 123, 42, 7]], np.int32)
+    st = model.static
+    if softcap:
+        st = dc.replace(st, attn_logit_softcap=softcap)
+    if window:
+        from exllamav2_tpu.models.modules import LayerStatic
+        st = dc.replace(st, layers=tuple(
+            LayerStatic(sliding_window=window) for _ in st.layers))
+    if not allow_kernel:
+        st = dc.replace(st, fused_matmul=False)
+    cache = PagedKVCache.alloc(st.num_layers, 8, st.num_kv_heads,
+                               st.head_dim, cache_kind)
+    bt = np.asarray([[0, 1]], np.int32)
+    import jax.numpy as jnp
+    step = jax.jit(functools.partial(model_forward_paged,
+                                     last_token_only=True),
+                   static_argnums=(1,), donate_argnums=(3,))
+    logits, cache = step(model.weights, st, jnp.asarray(ids), cache,
+                         jnp.asarray(bt), np.asarray([0], np.int32))
+    nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    logits2, _ = step(model.weights, st, nxt, cache, jnp.asarray(bt),
+                     np.asarray([8], np.int32))
+    return np.asarray(logits2)
+
+
+@pytest.mark.parametrize("case", ["softcap", "window", "both"])
+def test_kernel_softcap_window(model128, case):
+    """Round-2 kernel gating extensions: softcap / SWA decode must match
+    the gather-attention reference (ops/paged_attn.py fused path)."""
+    softcap = 30.0 if case in ("softcap", "both") else 0.0
+    window = 5 if case in ("window", "both") else 0
+    got = _one_decode_logits(model128, "bf16", softcap, window, True)
+    ref = _one_decode_logits(model128, "bf16", softcap, window, False)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, (case, rel)
+
+
+def test_kernel_fp8_kind(model128):
+    """fp8 kernel vs the jnp gather+dequant reference (e5m2 rounding is
+    large by construction — the reference ranks FP8 below Q4 quality,
+    qcache_eval.md — so the invariant is kernel==fallback, not ==bf16)."""
+    got = _one_decode_logits(model128, "fp8", allow_kernel=True)
+    ref = _one_decode_logits(model128, "fp8", allow_kernel=False)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+    assert np.isfinite(got).all()
+
+
+def test_kernel_head_dim_64(tmp_path):
+    """head_dim 64 (hidden 256 / 4 heads) now runs the fused kernel."""
+    d = make_tiny_llama(str(tmp_path / "hd64"), quant=None, seed=13,
+                        vocab=384, hidden=256, heads=4, kv_heads=2,
+                        inter=512, max_pos=1024, head_scale=6.0)
+    model = Model.from_dir(d)
+    assert model.static.head_dim == 64
+    tk = ByteTokenizer(384)
+    cache = PagedKVCache.alloc(model.static.num_layers, 16,
+                               model.static.num_kv_heads,
+                               model.static.head_dim, "bf16")
+    gen = DynamicGenerator(model, cache, tk)
+    out = gen.generate("hello small heads", max_new_tokens=10,
+                       settings=Settings.greedy())
+    ids = tk.encode("hello small heads")
+    ref = model.generate_greedy(ids[None], 10, max_seq=256)
+    assert out == tk.decode(ref[0, len(ids):])

@@ -1,5 +1,9 @@
 """Multi-device sharding tests on the virtual CPU mesh."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import dataclasses
 
 import numpy as np
@@ -114,3 +118,83 @@ def test_sharded_decode_steps(cpu_devices):
         tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
         logits2, cache = fwd(tok, cache, 3)
         assert np.isfinite(np.asarray(logits2)).all()
+
+
+def test_tp_fused_forward_matches_single(cpu_devices):
+    """The shard_map fused-TP forward (per-shard Pallas kernels +
+    all-gather stitching) must agree with the single-device paged
+    forward at the logits level (VERDICT: tighten to logits agreement)."""
+    import functools
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.models.forward import model_forward_paged
+    from exllamav2_tpu.parallel import sharding as S
+
+    w, st = random_model_weights(
+        vocab=512, hidden=256, layers=2, heads=8, kv_heads=4,
+        inter=512, max_seq=128, bits=4, seed=7)
+    tp = 4
+    assert S.tp_fusable(w, st, tp)
+
+    ids = np.array([[5, 9, 100, 7, 30, 40, 50, 60]], np.int32)
+    bt = np.asarray([[0, 1]], np.int32)
+    seqlens = np.asarray([0], np.int32)
+
+    def run_single():
+        cache = PagedKVCache.alloc(st.num_layers, 8, st.num_kv_heads,
+                                   st.head_dim, "bf16")
+        step = jax.jit(functools.partial(model_forward_paged,
+                                         last_token_only=True),
+                       static_argnums=(1,))
+        logits, _ = step(w, st, jnp.asarray(ids), cache,
+                         jnp.asarray(bt), jnp.asarray(seqlens))
+        return np.asarray(logits)
+
+    def run_tp():
+        mesh = make_mesh(tp, dp=1, devices=cpu_devices[:tp])
+        cache = PagedKVCache.alloc(st.num_layers, 8, st.num_kv_heads,
+                                   st.head_dim, "bf16")
+        with mesh:
+            w_tp, w_specs = S.shard_model_tp_fused(w, st, mesh, tp)
+            cache_s = S.shard_paged_cache(cache, mesh)
+            cache_specs = S.paged_cache_pspecs(cache_s)
+            st_local = S.local_static(st, tp)
+            fwd_last, _ = S.make_tp_paged_forward(
+                mesh, st_local, w_specs, cache_specs)
+            po = jnp.zeros((1,), jnp.int32)
+            logits, _ = jax.jit(fwd_last)(
+                w_tp, jnp.asarray(ids), cache_s, jnp.asarray(bt),
+                jnp.asarray(seqlens), po)
+        return np.asarray(logits)
+
+    a, b = run_single(), run_tp()
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.02, rel
+
+
+def test_tp_fused_generator_serving(cpu_devices):
+    """DynamicGenerator over a pure-TP mesh takes the fused shard_map
+    path and matches the single-device greedy output."""
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator
+    from exllamav2_tpu.generator.sampler import Settings
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+
+    w, st = random_model_weights(
+        vocab=512, hidden=256, layers=2, heads=8, kv_heads=4,
+        inter=512, max_seq=2048, bits=4, seed=11)
+    model = Model(w, st)
+    tk = ByteTokenizer(384)
+
+    def cache():
+        return PagedKVCache.alloc(st.num_layers, 16, st.num_kv_heads,
+                                  st.head_dim, "bf16")
+
+    plain = DynamicGenerator(model, cache(), tk).generate(
+        "hello world", max_new_tokens=6, settings=Settings.greedy())
+    mesh = make_mesh(4, dp=1, devices=cpu_devices[:4])
+    gen = DynamicGenerator(model, cache(), tk, mesh=mesh)
+    assert gen._tp_fused
+    sharded = gen.generate("hello world", max_new_tokens=6,
+                           settings=Settings.greedy())
+    assert sharded == plain, (sharded, plain)

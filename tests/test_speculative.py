@@ -1,5 +1,9 @@
 """Speculative decoding tests: outputs must match non-speculative greedy."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -4,6 +4,10 @@ Hermetic fixtures: tiny random pixtral / qwen2-vl checkpoints with a
 vision tower, driven with numpy images (no PIL assets needed).
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import json
 import os
 
