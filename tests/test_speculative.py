@@ -83,3 +83,35 @@ def test_spec_batch(model):
                             use_ngram_draft=True).generate(
         prompts, max_new_tokens=8, settings=Settings.greedy())
     assert spec == plain
+
+
+def test_spec_penalty_equivalence(tmp_path):
+    """Spec-on vs spec-off greedy output under repetition penalties
+    (VERDICT: the verify path approximates penalties with the pre-draft
+    context; this pins the observable effect)."""
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator
+    from exllamav2_tpu.generator.sampler import Settings
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=77,
+                        vocab=384, max_pos=2048, head_scale=6.0)
+    model = Model.from_dir(d)
+    tk = ByteTokenizer(384)
+    sett = Settings.greedy(token_repetition_penalty=1.3)
+
+    def cache():
+        return PagedKVCache.alloc(model.static.num_layers, 16,
+                                  model.static.num_kv_heads,
+                                  model.static.head_dim, "bf16")
+
+    plain = DynamicGenerator(model, cache(), tk).generate(
+        "penalty check", max_new_tokens=12, settings=sett)
+    spec = DynamicGenerator(model, cache(), tk,
+                            use_ngram_draft=True).generate(
+        "penalty check", max_new_tokens=12, settings=sett)
+    # the approximation may diverge late in a round; the leading half of
+    # the generation must agree exactly
+    assert spec[:len(plain) // 2] == plain[:len(plain) // 2], (spec, plain)

@@ -60,25 +60,29 @@ def main():
                            max_batch_size=args.max_batch,
                            max_chunk_size=512)
 
-    rng = np.random.default_rng(0)
-    jobs = []
-    t_submit = time.perf_counter()
-    for i in range(args.jobs):
-        ids = rng.integers(3, 250, args.prompt_len).astype(np.int32)
-        job = DynamicJob(ids, max_new_tokens=args.new_tokens,
-                         settings=Settings.greedy(), identifier=i)
-        gen.enqueue(job)
-        jobs.append(job)
+    def run_once(seed):
+        rng = np.random.default_rng(seed)
+        jobs = []
+        t_submit = time.perf_counter()
+        for i in range(args.jobs):
+            ids = rng.integers(3, 250, args.prompt_len).astype(np.int32)
+            job = DynamicJob(ids, max_new_tokens=args.new_tokens,
+                             settings=Settings.greedy(), identifier=i)
+            gen.enqueue(job)
+            jobs.append(job)
+        done = {}
+        guard = 0
+        while len(done) < args.jobs:
+            for r in gen.iterate():
+                if r["stage"] == "streaming" and r["eos"]:
+                    done[r["identifier"]] = r
+            guard += 1
+            assert guard < 200000, "generator stuck"
+        wall = time.perf_counter() - t_submit
+        return jobs, done, wall, t_submit
 
-    done = {}
-    guard = 0
-    while len(done) < args.jobs:
-        for r in gen.iterate():
-            if r["stage"] == "streaming" and r["eos"]:
-                done[r["identifier"]] = r
-        guard += 1
-        assert guard < 200000, "generator stuck"
-    wall = time.perf_counter() - t_submit
+    run_once(99)                        # warmup: compile all buckets
+    jobs, done, wall, t_submit = run_once(0)
 
     total_new = sum(r["new_tokens"] for r in done.values())
     ttfts = sorted((j.time_first_token - t_submit) for j in jobs)
@@ -94,6 +98,12 @@ def main():
         "ttft_p50_ms": round(ttfts[len(ttfts) // 2] * 1000, 1),
         "ttft_p95_ms": round(ttfts[int(len(ttfts) * 0.95)] * 1000, 1),
         "prefill_tokens": args.jobs * args.prompt_len,
+        # every iterate() reads sampled ids back to the host scheduler;
+        # through the axon tunnel that round trip is O(100ms) and
+        # dominates this wall-clock number. On directly-attached TPUs the
+        # readback is O(100us). bench.py's `extra.batched_tokens_per_s`
+        # (device-chained loop) reports the device-side decode rate.
+        "note": "host-loop RTT bound through the axon tunnel",
     }
     print(json.dumps(out))
 
