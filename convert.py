@@ -16,16 +16,15 @@ def main():
                     help="target average bits per weight")
     ap.add_argument("-hb", "--head_bits", type=int, default=8)
     ap.add_argument("-c", "--cal_dataset", default=None,
-                    help="path to a plain-text calibration file")
+                    help="calibration data: .txt or .parquet file "
+                         "(reference -c semantics)")
     ap.add_argument("-r", "--rows", type=int, default=16)
     ap.add_argument("-l", "--length", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    text = None
-    if args.cal_dataset:
-        with open(args.cal_dataset) as f:
-            text = f.read()
+    # pipeline handles .txt / .parquet paths directly
+    text = args.cal_dataset
 
     from exllamav2_tpu.convert.pipeline import convert_model
     convert_model(args.in_dir, args.out_dir, bits=args.bits,

@@ -350,12 +350,16 @@ class ModelConfig:
         EXL2 = '.q_weight' tensors; GPTQ = '.qweight' (module.py:101-151)."""
         qc = self.raw.get("quantization_config")
         tfm = self.tensor_file_map
-        probe = self.arch.key_attn_q.format(l=0) if not self.arch.fused_qkv \
-            else self.arch.key_fused_qkv.format(l=0)
-        probe = self.arch.lm_prefix + probe.split("|")[0]
-        if tfm is not None and (probe + ".q_weight") in tfm:
+        # converted fused-arch checkpoints store unfused tensor sets, so
+        # probe both the unfused and the fused key
+        probes = [self.arch.key_attn_q.format(l=0).split("|")[0]]
+        if self.arch.fused_qkv and self.arch.key_fused_qkv:
+            probes.append(self.arch.key_fused_qkv.format(l=0))
+        probes = [self.arch.lm_prefix + p for p in probes]
+        if tfm is not None and any(p + ".q_weight" in tfm for p in probes):
             self.quant_method = "exl2"
-        elif tfm is not None and (probe + ".qweight") in tfm:
+        elif tfm is not None and any(p + ".qweight" in tfm
+                                     for p in probes):
             self.quant_method = "gptq"
             if qc:
                 self.gptq_bits = int(qc.get("bits", 4))

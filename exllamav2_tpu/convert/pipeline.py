@@ -590,6 +590,15 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     for l, lw in enumerate(weights.layers):
         for sub in _layer_subs(cfg, lw, l):
             quantized_prefixes.add(sub.name)
+        # fused source tensors were sliced + quantized under unfused
+        # names; don't carry the fp16 originals into the output
+        if cfg.arch.fused_qkv and cfg.arch.key_fused_qkv:
+            quantized_prefixes.add(
+                cfg.arch.lm_prefix + cfg.arch.key_fused_qkv.format(l=l))
+        if cfg.arch.fused_gate_up and cfg.arch.key_fused_gate_up:
+            quantized_prefixes.add(
+                cfg.arch.lm_prefix
+                + cfg.arch.key_fused_gate_up.format(l=l))
     if quantize_head:
         quantized_prefixes.add(cfg.arch.lm_prefix + cfg.arch.key_head)
 

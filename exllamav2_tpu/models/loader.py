@@ -140,6 +140,10 @@ def build_static(cfg: ModelConfig) -> StaticModel:
         attn_scale = float(cfg.attention_multiplier)
     rope_style = {RopeStyle.NEOX: "neox", RopeStyle.GPTJ: "gptj",
                   RopeStyle.NONE: "none"}[arch.rope_style]
+    # env kill switch (reference config.py:184-188 EXLLAMA_NO_* analogs):
+    # forces the XLA dequant/gather formulations everywhere
+    import os as _os
+    fused = _os.environ.get("EXLLAMA_TPU_NO_FUSED", "") != "1"
     return StaticModel(
         num_layers=cfg.num_hidden_layers,
         num_heads=cfg.num_attention_heads,
@@ -164,6 +168,7 @@ def build_static(cfg: ModelConfig) -> StaticModel:
         parallel_blocks=arch.parallel_decoder_blocks,
         scale_depth=cfg.scale_depth,
         learned_pos_emb=arch.learned_pos_emb,
+        fused_matmul=fused,
         layers=tuple(per_layer),
         num_experts=cfg.num_experts,
         num_experts_per_tok=cfg.num_experts_per_tok,

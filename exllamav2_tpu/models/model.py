@@ -67,8 +67,41 @@ class Model:
 
     def forward(self, ids, cache: KVCache, past_len: int,
                 last_token_only: bool = False):
-        """ids [B, T] -> (logits f32, cache). Jit-cached per (T, B)."""
+        """ids [B, T] -> (logits f32, cache). Jit-cached per (T, B).
+
+        Inputs longer than max_input_len are processed in chunks bounded
+        additionally by max_attention_size (reference model.py:873-895) —
+        long prompts stream through without materializing one giant
+        attention problem.
+        """
         ids = jnp.asarray(ids, jnp.int32)
+        max_in = self.config.max_input_len if self.config else 2048
+        max_attn = self.config.max_attention_size if self.config \
+            else 2048 ** 2
+        t = ids.shape[1]
+        if t > max_in or (past_len + t) * t > max_attn:
+            chunks = []
+            pos = 0
+            while pos < t:
+                remaining = t - pos
+                size = min(max_in, remaining)
+                # shrink so q_len * kv_len stays under max_attention_size
+                while size > 1 and (past_len + pos + size) * size > max_attn:
+                    size = max(size // 2, 1)
+                last = pos + size >= t
+                lg, cache = self._forward_one(
+                    ids[:, pos:pos + size], cache, past_len + pos,
+                    last_token_only)
+                if last or not last_token_only:
+                    chunks.append(lg)
+                pos += size
+            logits = chunks[-1] if last_token_only \
+                else jnp.concatenate(chunks, axis=1)
+            return logits, cache
+        return self._forward_one(ids, cache, past_len, last_token_only)
+
+    def _forward_one(self, ids, cache: KVCache, past_len: int,
+                     last_token_only: bool):
         limit = _limit_bucket(int(past_len) + ids.shape[1], cache.max_seq)
         step = _prefill_step if last_token_only else _decode_step
         return step(self.weights, self.static, ids, cache,

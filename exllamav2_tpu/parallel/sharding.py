@@ -409,3 +409,20 @@ def make_tp_paged_forward(mesh: Mesh, st_local: StaticModel,
         raise RuntimeError("shard_map signature mismatch")
 
     return make(True), make(False)
+
+
+def make_multihost_mesh(dp: int = 1, tp: int | None = None) -> Mesh:
+    """Global mesh across hosts (SURVEY §7 step 7: the same shard_map
+    program runs over DCN; per-host schedulers feed identical token ids).
+
+    Call jax.distributed.initialize() first (TPU pod environments do this
+    automatically). The tp axis should stay within a slice so its
+    all-gathers ride ICI; dp crosses hosts over DCN.
+    """
+    devices = jax.devices()
+    n = len(devices)
+    tp = tp or n // dp
+    assert dp * tp == n, (dp, tp, n)
+    import numpy as _np
+    return Mesh(_np.asarray(devices).reshape(dp, tp),
+                axis_names=("dp", "tp"))

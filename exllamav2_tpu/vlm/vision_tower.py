@@ -369,14 +369,15 @@ class VisionTower:
                 h = jnp.dot(h.astype(jnp.bfloat16), mmp["proj"].weight,
                             preferred_element_type=jnp.float32)
             return h
-        # mlp merger (pixtral / qwen2 / mistral3)
-        merge = cfg.vision_spatial_merge_size ** 2
-        if merge > 1:
-            x = x.reshape(x.shape[0] // merge, merge * x.shape[1])
+        # mlp merger (pixtral / qwen2 / mistral3): the merger norm (ln_q)
+        # normalizes per-patch features BEFORE the spatial merge concat
         if mmp["norm"] is not None:
             x = _vnorm(x, mmp["norm"],
                        "layernorm" if self.vt != "pixtral" else "rms",
                        self.eps)
+        merge = cfg.vision_spatial_merge_size ** 2
+        if merge > 1:
+            x = x.reshape(x.shape[0] // merge, merge * x.shape[1])
         if mmp.get("patch_merger") is not None:
             x = _dense(x.astype(jnp.bfloat16), mmp["patch_merger"])
         h = _dense(x.astype(jnp.bfloat16), mmp["up"])

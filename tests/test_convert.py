@@ -103,3 +103,90 @@ def test_end_to_end_convert(tmp_path):
     # 4-bit error is naturally high; this is a wiring smoke-check (quality
     # itself is covered by test_gptq_better_than_rtn)
     assert rel < 0.5, rel
+
+
+def _roundtrip(tmp_path, name, **fixture_kw):
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+    from exllamav2_tpu.models.model import Model
+
+    src = str(tmp_path / f"{name}_src")
+    out = str(tmp_path / f"{name}_out")
+    make_tiny_llama(src, quant=None, seed=13, vocab=256, hidden=128,
+                    layers=1, heads=4, kv_heads=2, inter=256, max_pos=512,
+                    **fixture_kw)
+    convert_model(src, out, bits=4.0, head_bits=6, cal_rows=2, cal_len=64,
+                  progress=lambda *a: None)
+    m_q = Model.from_dir(out)
+    ids = np.array([[3, 17, 200, 9]], np.int32)
+    c = m_q.new_cache(batch=1, max_seq=16)
+    logits, _ = m_q.forward(ids, c, 0)
+    assert np.isfinite(np.asarray(logits)).all()
+    return out
+
+
+def test_convert_moe_fixture(tmp_path):
+    """Mixtral-style MoE converts expert-by-expert (VERDICT item 4:
+    arch-derived module lists; ref qparams_moe_mlp)."""
+    from exllamav2_tpu.stloader import TensorFileMap
+    out = _roundtrip(tmp_path, "moe", arch="MixtralForCausalLM",
+                     extra_config={"num_local_experts": 2,
+                                   "num_experts_per_tok": 2})
+    tfm = TensorFileMap(out)
+    assert "model.layers.0.block_sparse_moe.experts.1.w2.q_weight" in tfm
+    # the router stays unquantized
+    assert "model.layers.0.block_sparse_moe.gate.weight" in tfm
+    tfm.close()
+
+
+def test_convert_phi3_fused(tmp_path):
+    """Phi3 fused qkv/gate_up converts to unfused EXL2 tensor sets (the
+    reference packs each submodule separately; loader prefers unfused)."""
+    from exllamav2_tpu.stloader import TensorFileMap
+    out = _roundtrip(tmp_path, "phi3", arch="Phi3ForCausalLM")
+    tfm = TensorFileMap(out)
+    assert "model.layers.0.self_attn.q_proj.q_weight" in tfm
+    assert "model.layers.0.mlp.gate_proj.q_weight" in tfm
+    # fused source tensors are not duplicated into the output
+    assert "model.layers.0.self_attn.qkv_proj.weight" not in tfm
+    tfm.close()
+
+
+def test_convert_quantizes_head(tmp_path):
+    """head_bits goes live: the output carries a packed lm_head
+    (ref quant_lm_head, quantize.py:443-543)."""
+    from exllamav2_tpu.stloader import TensorFileMap
+    out = _roundtrip(tmp_path, "head")
+    tfm = TensorFileMap(out)
+    assert "lm_head.q_weight" in tfm
+    assert "lm_head.weight" not in tfm
+    tfm.close()
+
+
+def test_convert_resume_from_partial(tmp_path):
+    """Killing after the measure stage and re-running resumes without
+    redoing finished layers (per-stage + per-layer persistence)."""
+    import json
+    import os
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+    src = str(tmp_path / "rsrc")
+    out = str(tmp_path / "rout")
+    make_tiny_llama(src, quant=None, seed=14, vocab=256, hidden=128,
+                    layers=2, heads=4, kv_heads=2, inter=256, max_pos=512)
+    convert_model(src, out, bits=4.0, cal_rows=2, cal_len=64,
+                  progress=lambda *a: None)
+    # simulate a crash after layer 0 of quantize: drop layer 1 + final
+    # model, rewind the stage marker
+    os.remove(os.path.join(out, "model.safetensors"))
+    os.remove(os.path.join(out, "quant", "layer_1.safetensors"))
+    job = json.load(open(os.path.join(out, "job.json")))
+    job["stage"] = "quantize"
+    json.dump(job, open(os.path.join(out, "job.json"), "w"))
+    seen = []
+    convert_model(src, out, bits=4.0, cal_rows=2, cal_len=64,
+                  progress=lambda m: seen.append(m))
+    # only the missing layer re-quantized
+    assert any("quantized layer 2/2" in m for m in seen)
+    assert not any("quantized layer 1/2" in m for m in seen)
+    from exllamav2_tpu.models.model import Model
+    m = Model.from_dir(out)
+    assert m.config.quant_method == "exl2"

@@ -131,3 +131,35 @@ def test_sparse_moe_matches_dense(tmp_path):
     import numpy as np
     a, b = np.asarray(dense, np.float32), np.asarray(sparse, np.float32)
     assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
+
+
+def test_chunked_long_input_forward(tmp_path):
+    """Inputs beyond max_input_len stream through in chunks and match the
+    single-shot forward (reference model.py:873-895 chunking)."""
+    import dataclasses
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+
+    d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=71,
+                        vocab=384, max_pos=512)
+    model = Model.from_dir(str(d))
+    ids = np.random.default_rng(0).integers(3, 250, (1, 96)).astype(
+        np.int32)
+
+    cache1 = model.new_cache(1, 128)
+    ref, _ = model.forward(ids, cache1, 0)
+
+    model.config.max_input_len = 32       # force 3 chunks
+    cache2 = model.new_cache(1, 128)
+    got, _ = model.forward(ids, cache2, 0)
+    a, b = np.asarray(ref), np.asarray(got)
+    assert a.shape == b.shape
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.02, rel
+
+    # last-token-only mode across chunks
+    cache3 = model.new_cache(1, 128)
+    last, _ = model.forward(ids, cache3, 0, last_token_only=True)
+    rel2 = np.abs(np.asarray(last)[:, 0] - a[:, -1]).max() / \
+        (np.abs(a[:, -1]).max() + 1e-9)
+    assert rel2 < 0.02, rel2

@@ -35,8 +35,23 @@ def test_linear_scaling():
 
 def test_ntk_scaling():
     inv0, _ = rope_params(_cfg())
-    inv, _ = rope_params(_cfg(rope_scaling={"type": "dynamic", "alpha": 2.0}))
+    inv, _ = rope_params(_cfg(rope_scaling={"type": "ntk", "alpha": 2.0}))
     # NTK raises the base -> lower frequencies, most at the tail
+    assert inv[-1] < inv0[-1]
+    assert np.isclose(inv[0], inv0[0])
+
+
+def test_dynamic_ntk_scaling():
+    """HF dynamic-NTK: base grows with seq_len/original (ADVICE fix);
+    at seq_len == original the table is unscaled."""
+    inv0, _ = rope_params(_cfg())
+    same, _ = rope_params(_cfg(rope_scaling={"type": "dynamic",
+                                             "factor": 4.0}))
+    assert np.allclose(same, inv0)      # max_seq == original -> alpha 1
+    cfg = _cfg(rope_scaling={"type": "dynamic", "factor": 4.0,
+                             "original_max_position_embeddings": 512})
+    cfg.max_seq_len = 2048
+    inv, _ = rope_params(cfg)
     assert inv[-1] < inv0[-1]
     assert np.isclose(inv[0], inv0[0])
 
