@@ -86,6 +86,7 @@ class ArchParams:
     # cohere2 P=4, gemma3 P=6); config "sliding_window_pattern" overrides.
     sliding_window_pattern: int = 0
     sliding_rope_theta: float | None = None   # gemma3 SWA layers rope theta
+    rope_swa_only: bool = False               # cohere2: NoPE on full layers
     default_use_qk_norm: bool = False
     scale_attn_weights_by_layer: bool = False
     untie_word_embeddings_key: str = "tie_word_embeddings"
@@ -111,7 +112,6 @@ class ArchParams:
     vt_prefix: str = ""                       # vision tower prefix
     mmp_prefix: str = ""                      # multimodal projector prefix
     mrope: bool = False                       # qwen2-vl 3-axis rope
-    rope_freq_half: bool = False              # qwen2-vl uses half mrope freqs
     vision: str | None = None                 # vision tower family id
 
 
@@ -427,6 +427,9 @@ _register(_llama(
     tied_head_default=True,
     requires_bos=True,
     sliding_window_pattern=4,
+    # HF Cohere2Attention applies rotary only on sliding-window layers;
+    # full-attention layers are NoPE
+    rope_swa_only=True,
 ))
 
 # GLM4: GPTJ rope, fused gate_up, extra post norms, tied head
@@ -466,7 +469,6 @@ _register(_llama(
     arch_string="Qwen2VLForConditionalGeneration",
     attention_bias=True,
     mrope=True,
-    rope_freq_half=True,
     vt_prefix="visual.",
     mmp_prefix="visual.merger.",
     vision="qwen2",
@@ -475,7 +477,6 @@ _register(_llama(
     arch_string="Qwen2_5_VLForConditionalGeneration",
     attention_bias=True,
     mrope=True,
-    rope_freq_half=True,
     vt_prefix="visual.",
     mmp_prefix="visual.merger.",
     vision="qwen2.5",

@@ -374,6 +374,11 @@ def _quantize_sub(sub: _Sub, qp: QParams, cap: dict,
         f"{sub.name}.q_groups": t.q_groups,
         f"{sub.name}.q_invperm": t.q_invperm,
     }
+    # biases ride along unquantized (fused-qkv sources carry them under
+    # the fused key, which the compile stage drops entirely)
+    if getattr(sub.lin, "bias", None) is not None:
+        tensors[f"{sub.name}.bias"] = np.asarray(
+            sub.lin.bias, np.float32).astype(np.float16)
     return tensors, recon
 
 
@@ -587,16 +592,17 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
 
     # ---- stage: compile (compile.py analog) ----
     quantized_prefixes = set()
+    drop_prefixes = set()
     for l, lw in enumerate(weights.layers):
         for sub in _layer_subs(cfg, lw, l):
             quantized_prefixes.add(sub.name)
         # fused source tensors were sliced + quantized under unfused
-        # names; don't carry the fp16 originals into the output
+        # names (bias included); drop the originals entirely
         if cfg.arch.fused_qkv and cfg.arch.key_fused_qkv:
-            quantized_prefixes.add(
+            drop_prefixes.add(
                 cfg.arch.lm_prefix + cfg.arch.key_fused_qkv.format(l=l))
         if cfg.arch.fused_gate_up and cfg.arch.key_fused_gate_up:
-            quantized_prefixes.add(
+            drop_prefixes.add(
                 cfg.arch.lm_prefix
                 + cfg.arch.key_fused_gate_up.format(l=l))
     if quantize_head:
@@ -607,7 +613,9 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     tfm = cfg.tensor_file_map
     for key in tfm.keys():
         prefix = key.rsplit(".", 1)[0]
-        if prefix in quantized_prefixes and not key.endswith(".bias"):
+        if prefix in drop_prefixes:
+            continue                       # fused source, fully replaced
+        if prefix in quantized_prefixes:
             continue                       # replaced by packed tensors
         out_tensors[key] = tfm.get_tensor(key).copy()
         if tfm.get_dtype(key) == "BF16":

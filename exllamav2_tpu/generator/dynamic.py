@@ -198,7 +198,11 @@ class DynamicGenerator:
             from exllamav2_tpu.parallel import sharding as S
             tp = mesh.shape.get("tp", 1)
             dp = mesh.shape.get("dp", 1)
-            if dp == 1 and S.tp_fusable(model.weights, model.static, tp):
+            mm_arch = (model.config is not None
+                       and (getattr(model.config.arch, "mrope", False)
+                            or getattr(model.config.arch, "vision", None)))
+            if (dp == 1 and not mm_arch
+                    and S.tp_fusable(model.weights, model.static, tp)):
                 w_tp, w_specs = S.shard_model_tp_fused(
                     model.weights, model.static, mesh, tp)
                 cache = S.shard_paged_cache(cache, mesh)
@@ -1426,21 +1430,28 @@ class DynamicGenerator:
                     out.append((None, part))
             segments = out
         ids = []
-        first = True
+        if add_bos and self.tokenizer.bos_token_id is not None:
+            ids.append(np.asarray([self.tokenizer.bos_token_id], np.int64))
         for emb, seg in segments:
             if emb is not None:
                 ids.append(emb.get_ids_array().astype(np.int64))
             elif seg:
                 ids.append(self.tokenizer.encode(
-                    seg, add_bos=add_bos and first).astype(np.int64))
-            first = False
+                    seg, add_bos=False).astype(np.int64))
         return np.concatenate(ids).astype(np.int32) if ids else \
             np.zeros(0, np.int32)
 
     def generate(self, prompt, max_new_tokens: int = 128,
                  settings: Settings | None = None, seed: int = 0,
-                 stop_conditions=None, add_bos: bool = False,
+                 stop_conditions=None, add_bos: bool | None = None,
                  completion_only: bool = True, embeddings: list | None = None):
+        if add_bos is None:
+            # arch decides (ArchParams.requires_bos; ref generator
+            # generate_simple add_bos default) — Gemma/Llama-style models
+            # are BOS-trained
+            cfg = getattr(self.model, "config", None)
+            add_bos = bool(cfg is not None
+                           and getattr(cfg.arch, "requires_bos", False))
         prompts = prompt if isinstance(prompt, list) else [prompt]
         jobs = []
         for i, p in enumerate(prompts):

@@ -57,13 +57,17 @@ class LMFormatEnforcerFilter(Filter):
             raise ImportError(
                 "pip install lm-format-enforcer to use "
                 "LMFormatEnforcerFilter") from e
-        pieces = tokenizer.get_id_to_piece_list()
+        # decoded strings, not raw vocab pieces — the parser is
+        # character-level over output text (review: "▁the" must
+        # register as " the")
+        pieces = tokenizer.get_id_to_decoded_list()
 
         def decode(tokens):
             return tokenizer.decode(tokens)
 
         data = TokenEnforcerTokenizerData(
-            regular_tokens=[(i, p, False) for i, p in enumerate(pieces)],
+            regular_tokens=[(i, p, p.startswith(" "))
+                            for i, p in enumerate(pieces)],
             decoder=decode,
             eos_token_id=tokenizer.eos_token_id or 0)
         self.enforcer = TokenEnforcer(data, character_level_parser)

@@ -84,9 +84,10 @@ def _rope_style(st: StaticModel) -> RopeStyle:
 
 
 def _attn_qkv(x: jax.Array, aw: AttnWeights, st: StaticModel,
-              sin: jax.Array, cos: jax.Array):
+              sin: jax.Array, cos: jax.Array, layer: int | None = None):
     """Shared norm -> Q/K/V proj -> qk-norm -> RoPE front half
-    (ext_c.q_attn_forward_1 analog, attn.py:1126-1140)."""
+    (ext_c.q_attn_forward_1 analog, attn.py:1126-1140). Cohere2-style
+    NoPE layers (rope_enabled=False) skip the rotation entirely."""
     b, t, d = x.shape
     hq, hkv, hd = st.num_heads, st.num_kv_heads, st.head_dim
     hidden = norm_apply(x, aw.norm, st)
@@ -101,6 +102,9 @@ def _attn_qkv(x: jax.Array, aw: AttnWeights, st: StaticModel,
         k = _head_norm(k, aw.k_norm, st.norm_eps)
 
     style = _rope_style(st)
+    if (layer is not None and st.layers
+            and not st.layers[layer].rope_enabled):
+        style = RopeStyle.NONE
     q = apply_rope(q.astype(jnp.bfloat16), sin, cos, style)
     k = apply_rope(k.astype(jnp.bfloat16), sin, cos, style)
     return q, k, v.astype(jnp.bfloat16)
@@ -120,7 +124,7 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
     """
     b, t, d = x.shape
     hq, hkv, hd = st.num_heads, st.num_kv_heads, st.head_dim
-    q, k, v = _attn_qkv(x, aw, st, sin, cos)
+    q, k, v = _attn_qkv(x, aw, st, sin, cos, layer)
 
     cache = cache.update(layer, k, v, past_len)
     ck, cv = cache.layer(layer)               # [B, Hkv, S, D]
@@ -182,7 +186,7 @@ def attn_forward_paged(x: jax.Array, aw: AttnWeights, st: StaticModel,
     from exllamav2_tpu.ops.paged_attn import paged_attention
     b, t, d = x.shape
     hq, hd = st.num_heads, st.head_dim
-    q, k, v = _attn_qkv(x, aw, st, sin, cos)
+    q, k, v = _attn_qkv(x, aw, st, sin, cos, layer)
     cache = cache.append(layer, block_table, cache_seqlens, k, v)
     scale = st.attn_scale if st.attn_scale is not None else hd ** -0.5
     window = st.layers[layer].sliding_window if st.layers else 0

@@ -114,14 +114,11 @@ def _swa_layers(cfg: ModelConfig) -> list[int]:
         sw = 0
         if cfg.sliding_window:
             if pattern > 1:
+                # patterned archs (Gemma2/3, Cohere2) window all but
+                # each P-th layer; uniform-SWA archs (Mistral) window all
                 sw = cfg.sliding_window if (l + 1) % pattern != 0 else 0
-            elif arch.sliding_window_pattern or cfg.raw.get(
-                    "sliding_window_pattern"):
-                sw = cfg.sliding_window
             else:
-                sw = cfg.sliding_window       # uniform SWA (mistral-style)
-    # NB: uniform-SWA archs (Mistral) window every layer; patterned archs
-    # (Gemma2/3, Cohere2) window all but each P-th layer.
+                sw = cfg.sliding_window
         out.append(sw)
     return out
 
@@ -132,7 +129,8 @@ def build_static(cfg: ModelConfig) -> StaticModel:
     has_alt_rope = arch.sliding_rope_theta is not None and any(swa)
     per_layer = [
         LayerStatic(sliding_window=swa[l],
-                    alt_rope=bool(has_alt_rope and swa[l]))
+                    alt_rope=bool(has_alt_rope and swa[l]),
+                    rope_enabled=not (arch.rope_swa_only and not swa[l]))
         for l in range(cfg.num_hidden_layers)
     ]
     attn_scale = None

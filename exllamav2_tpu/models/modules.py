@@ -107,6 +107,7 @@ class LayerStatic:
     """Per-layer static info (hashable; jit-static)."""
     sliding_window: int = 0           # 0 = full attention
     alt_rope: bool = False            # gemma3: SWA layers use sin/cos_alt
+    rope_enabled: bool = True         # cohere2: NoPE on full-attn layers
 
 
 @dataclasses.dataclass(frozen=True)

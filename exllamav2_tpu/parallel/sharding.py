@@ -196,6 +196,8 @@ def tp_fusable(w: ModelWeights, st: StaticModel, tp: int) -> bool:
     for lw in w.layers:
         lins = [lw.attn.q, lw.attn.k, lw.attn.v, lw.attn.o]
         if isinstance(lw.mlp, MoEWeights):
+            if isinstance(lw.mlp.router, QuantLinear):
+                return False      # routers replicate; quantized = GSPMD
             lins += list(lw.mlp.w1) + list(lw.mlp.w2) + list(lw.mlp.w3)
         else:
             lins += [lw.mlp.gate, lw.mlp.up, lw.mlp.down]

@@ -78,13 +78,62 @@ class TokenizerBase:
 
     def prefix_ids(self, prefix: str) -> np.ndarray:
         """Token ids whose piece starts with `prefix`, via binary search
-        over the sorted piece list — O(log V + matches) instead of the
-        reference's prefix dict scan (tokenizer.py:703-734)."""
+        + forward scan over the sorted piece list — O(log V + matches)
+        instead of the reference's prefix dict scan (tokenizer.py:703-734).
+        (A sentinel upper bound like prefix+"\uffff" would miss pieces
+        continuing with astral-plane codepoints.)"""
         import bisect
         pieces, order = self._sorted_pieces()
         lo = bisect.bisect_left(pieces, prefix)
-        hi = bisect.bisect_left(pieces, prefix + "￿")
+        hi = lo
+        n = len(pieces)
+        while hi < n and pieces[hi].startswith(prefix):
+            hi += 1
         return order[lo:hi]
+
+    def get_id_to_decoded_list(self) -> list[str]:
+        """Decoded text per token id (reference tokenizer.py extended
+        piece list): raw vocab pieces carry encoding markers — "▁" for
+        sentencepiece spaces, the GPT-2 byte-to-unicode alphabet for
+        byte-level BPE — which character-level constraint engines must
+        not see. Applies the inverse transform per piece."""
+        lst = getattr(self, "_id_to_decoded", None)
+        if lst is not None:
+            return lst
+        pieces = self.get_id_to_piece_list()
+        sample = "".join(pieces[:256])
+        if "Ġ" in sample or any("Ġ" in p or "Ċ" in p for p in pieces):
+            # GPT-2 byte-level BPE: invert bytes_to_unicode
+            bs = (list(range(ord("!"), ord("~") + 1))
+                  + list(range(ord("¡"), ord("¬") + 1))
+                  + list(range(ord("®"), ord("ÿ") + 1)))
+            cs = bs[:]
+            n = 0
+            for b in range(256):
+                if b not in bs:
+                    bs.append(b)
+                    cs.append(256 + n)
+                    n += 1
+            u2b = {chr(c): b for b, c in zip(bs, cs)}
+
+            def conv(p):
+                try:
+                    return bytes(u2b[ch] for ch in p).decode(
+                        "utf-8", errors="replace")
+                except KeyError:
+                    return p        # special token, not byte-encoded
+            lst = [conv(p) for p in pieces]
+        else:
+            def conv(p):
+                if p.startswith("<0x") and p.endswith(">") and len(p) == 6:
+                    try:
+                        return chr(int(p[3:5], 16))
+                    except ValueError:
+                        return p
+                return p.replace("▁", " ")
+            lst = [conv(p) for p in pieces]
+        self._id_to_decoded = lst
+        return lst
 
     def get_char_trie(self):
         """Root of a char trie over pieces (tokenizer.py:758-801 analog):

@@ -216,6 +216,8 @@ class VisionTower:
         if vt in ("qwen2", "qwen2.5"):
             return {"kind": "mlp",
                     "norm": load_norm(tfm, mp + "ln_q"),
+                    # qwen2.5's ln_q is an RMSNorm, qwen2's a LayerNorm
+                    "norm_kind": "rms" if vt == "qwen2.5" else "layernorm",
                     "up": load_linear(tfm, mp + "mlp.0"),
                     "down": load_linear(tfm, mp + "mlp.2"),
                     "patch_merger": None, "act": "gelu"}
@@ -372,8 +374,8 @@ class VisionTower:
         # mlp merger (pixtral / qwen2 / mistral3): the merger norm (ln_q)
         # normalizes per-patch features BEFORE the spatial merge concat
         if mmp["norm"] is not None:
-            x = _vnorm(x, mmp["norm"],
-                       "layernorm" if self.vt != "pixtral" else "rms",
+            default_kind = "layernorm" if self.vt != "pixtral" else "rms"
+            x = _vnorm(x, mmp["norm"], mmp.get("norm_kind", default_kind),
                        self.eps)
         merge = cfg.vision_spatial_merge_size ** 2
         if merge > 1:

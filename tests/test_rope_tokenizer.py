@@ -129,3 +129,35 @@ def test_hf_tokenizer_backend(tmp_path):
     assert "hello" in t.decode(ids)
     assert t.eos_token_id is not None
     assert t.vocab_size >= 30   # tiny training corpus
+
+def test_prefix_ids_astral_plane():
+    """prefix_ids must include pieces continuing with astral-plane
+    codepoints (a \\uffff sentinel upper bound would exclude them)."""
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+
+    class T(ByteTokenizer):
+        def __init__(self):
+            super().__init__(vocab_size=4)
+            self._id_to_piece = ["ab", "ab\U0001F600", "abc", "b"]
+
+    t = T()
+    ids = set(int(i) for i in t.prefix_ids("ab"))
+    assert ids == {0, 1, 2}
+
+
+def test_decoded_piece_list():
+    """SP markers and byte tokens decode; byte-BPE alphabet inverts."""
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+
+    class SP(ByteTokenizer):
+        def __init__(self):
+            super().__init__(vocab_size=3)
+            self._id_to_piece = ["▁the", "<0x0A>", "x"]
+
+    class BPE(ByteTokenizer):
+        def __init__(self):
+            super().__init__(vocab_size=3)
+            self._id_to_piece = ["Ġthe", "Ċ", "<|endoftext|>"]
+
+    assert SP().get_id_to_decoded_list() == [" the", "\n", "x"]
+    assert BPE().get_id_to_decoded_list() == [" the", "\n", "<|endoftext|>"]
