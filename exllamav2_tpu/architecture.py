@@ -59,6 +59,11 @@ class ArchParams:
     key_moe_w1: str | None = None             # gate_proj per expert
     key_moe_w2: str | None = None             # down_proj per expert
     key_moe_w3: str | None = None             # up_proj per expert
+    # DBRX-style fused expert storage: one [E*ffn, d] raw tensor per
+    # proj (no ".weight" suffix), sliced per expert at load
+    key_moe_fused_w1: str | None = None
+    key_moe_fused_w2: str | None = None
+    key_moe_fused_w3: str | None = None
     # checkpoint key remapping (applied to raw safetensors names; "$" anchors
     # the match at the start of the name — reference architecture.py:81-106)
     keymap: tuple = ()
@@ -230,6 +235,9 @@ _register(_llama(
     key_moe_w1="model.layers.{l}.block_sparse_moe.experts.{e}.w1",
     key_moe_w2="model.layers.{l}.block_sparse_moe.experts.{e}.w2",
     key_moe_w3="model.layers.{l}.block_sparse_moe.experts.{e}.v1",
+    key_moe_fused_w1="model.layers.{l}.block_sparse_moe.experts.w1",
+    key_moe_fused_w2="model.layers.{l}.block_sparse_moe.experts.w2",
+    key_moe_fused_w3="model.layers.{l}.block_sparse_moe.experts.v1",
 ))
 
 # Gemma: geglu, +1 norm bias, embedding scaling, tied head.

@@ -142,15 +142,22 @@ class ModelConfig:
         # with opt_subkey="text_config"); merge them over the top level
         if isinstance(c.get("text_config"), dict):
             c = {**c, **c["text_config"]}
+        # DBRX nests attention/ffn params in sub-dicts (attn_config.
+        # kv_n_heads, ffn_config.ffn_hidden_size/moe_num_experts...);
+        # flatten them under the top level (top level wins)
+        for sub in ("attn_config", "ffn_config"):
+            if isinstance(c.get(sub), dict):
+                c = {**c[sub], **c}
 
         self.hidden_size = int(_get(c, ["hidden_size", "n_embd", "d_model"], 4096))
         self.num_hidden_layers = int(_get(
-            c, ["num_hidden_layers", "n_layer", "num_layers"], 32))
+            c, ["num_hidden_layers", "n_layer", "n_layers", "num_layers"],
+            32))
         self.num_attention_heads = int(_get(
-            c, ["num_attention_heads", "n_head"],
+            c, ["num_attention_heads", "n_head", "n_heads"],
             self.arch.default_num_attention_heads or 32))
         self.num_key_value_heads = int(_get(
-            c, ["num_key_value_heads", "num_kv_heads"],
+            c, ["num_key_value_heads", "num_kv_heads", "kv_n_heads"],
             self.arch.default_num_key_value_heads
             or self.num_attention_heads))
         if self.arch.mqa:                      # GPTBigCode (attn.py mqa)
@@ -159,7 +166,8 @@ class ModelConfig:
             c, "head_dim", self.arch.default_head_dim
             or self.hidden_size // self.num_attention_heads))
         self.intermediate_size = int(_get(
-            c, ["intermediate_size", "n_inner", "ffn_dim"],
+            c, ["intermediate_size", "n_inner", "ffn_dim",
+                "ffn_hidden_size"],
             (self.arch.default_inner_dim_mult or 4) * self.hidden_size))
         self.vocab_size = int(_get(
             c, "vocab_size", self.arch.default_vocab_size or 32000))
@@ -172,7 +180,8 @@ class ModelConfig:
             c, ["rope_theta", "rotary_emb_base"],
             self.arch.default_rope_theta))
         self.max_position_embeddings = int(_get(
-            c, ["max_position_embeddings", "n_positions"], 2048))
+            c, ["max_position_embeddings", "n_positions", "max_seq_len"],
+            2048))
         self.original_max_position_embeddings = _get(
             c, "original_max_position_embeddings")
         self.partial_rotary_factor = float(_get(c, "partial_rotary_factor", 1.0))
@@ -216,8 +225,10 @@ class ModelConfig:
                                 / math.sqrt(self.num_hidden_layers))
 
         self.num_experts = int(_get(
-            c, ["num_local_experts", "num_experts", "n_routed_experts"], 0))
-        self.num_experts_per_tok = int(_get(c, "num_experts_per_tok", 0))
+            c, ["num_local_experts", "num_experts", "n_routed_experts",
+                "moe_num_experts"], 0))
+        self.num_experts_per_tok = int(_get(
+            c, ["num_experts_per_tok", "moe_top_k"], 0))
         self.moe_intermediate_size = int(_get(
             c, "moe_intermediate_size", self.intermediate_size))
         self.norm_topk_prob = bool(_get(c, "norm_topk_prob", True))

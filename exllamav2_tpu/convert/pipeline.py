@@ -463,45 +463,60 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     if os.path.exists(meas_path):
         with open(meas_path) as f:
             meas = json.load(f)
+    def _mid_qp(opts):
+        # representative option: nearest the global bpw target
+        return min(opts, key=lambda qp: abs(qp.bpw(4096, 4096) - bits))
+
     if job["stage"] == "measure":
         hs = embed_states()
         for l, lw in enumerate(weights.layers):
-            if str(l) in meas["layers"]:
-                hs, _ = _layer_forward_capture(lw, st, hs, sin, cos,
-                                               want_caps=False)
-                continue
-            hs, cap = _layer_forward_capture(lw, st, hs, sin, cos)
+            # prep per-sub Hessians from states that have passed through
+            # PROGRESSIVELY-QUANTIZED earlier layers (reference measure.py
+            # forwards quantized module outputs so each layer is measured
+            # against the error it will actually see)
+            _, cap = _layer_forward_capture(lw, st, hs, sin, cos)
             cap = {k: np.asarray(v, np.float16) for k, v in cap.items()}
-            entry = {}
+            prepped = {"attn": [], "mlp": []}
+            for sub in _layer_subs(cfg, lw, l):
+                w_t = np.asarray(sub.lin.weight, np.float32)
+                g = AdaptiveGPTQ(w_t)
+                g.add_batch(cap[sub.cap].astype(np.float32))
+                diag = np.asarray(jnp.diagonal(g.hessian))
+                perm = np.argsort(-diag)
+                g.w = g.w[perm]
+                prepped[sub.kind].append((sub, g, np.argsort(perm), w_t))
+            if str(l) not in meas["layers"]:
+                entry = {}
+                for kind, opts in (("attn", attn_opts), ("mlp", mlp_opts)):
+                    opt_list = []
+                    if prepped[kind]:
+                        for qp in opts:
+                            tot_bits = 0
+                            err = 0.0
+                            for sub, g, inv, w_t in prepped[kind]:
+                                k, n = w_t.shape
+                                dq = g.quantize_rtn(qp.groups(k))[inv]
+                                err += _sublayer_out_err(
+                                    cap[sub.cap], w_t, dq)
+                                tot_bits += qp.total_bits(k, n)
+                            opt_list.append((tot_bits, err))
+                    entry[kind] = opt_list
+                meas["layers"][str(l)] = entry
+                with open(meas_path, "w") as f:
+                    json.dump(meas, f)
+                progress(f" -- measured layer {l + 1}/{st.num_layers}")
+            # advance states through an RTN reconstruction at the
+            # representative option (deterministic, so resume re-derives
+            # identical states)
+            lw_mid = lw
             for kind, opts in (("attn", attn_opts), ("mlp", mlp_opts)):
-                subs = [s for s in _layer_subs(cfg, lw, l) if s.kind == kind]
-                if not subs:
-                    entry[kind] = []
-                    continue
-                prepped = []
-                for sub in subs:
-                    w_t = np.asarray(sub.lin.weight, np.float32)
-                    g = AdaptiveGPTQ(w_t)
-                    g.add_batch(cap[sub.cap].astype(np.float32))
-                    diag = np.asarray(jnp.diagonal(g.hessian))
-                    perm = np.argsort(-diag)
-                    g.w = g.w[perm]
-                    prepped.append((sub, g, np.argsort(perm), w_t))
-                opt_list = []
-                for qp in opts:
-                    tot_bits = 0
-                    err = 0.0
-                    for sub, g, inv, w_t in prepped:
-                        k, n = w_t.shape
-                        dq = g.quantize_rtn(qp.groups(k))[inv]
-                        err += _sublayer_out_err(cap[sub.cap], w_t, dq)
-                        tot_bits += qp.total_bits(k, n)
-                    opt_list.append((tot_bits, err))
-                entry[kind] = opt_list
-            meas["layers"][str(l)] = entry
-            with open(meas_path, "w") as f:
-                json.dump(meas, f)
-            progress(f" -- measured layer {l + 1}/{st.num_layers}")
+                qp = _mid_qp(opts)
+                for sub, g, inv, w_t in prepped[kind]:
+                    dq = g.quantize_rtn(qp.groups(w_t.shape[0]))[inv]
+                    lw_mid = _replace_lin(lw_mid, sub.field,
+                                          from_dense(dq, _bias_of(sub.lin)))
+            hs, _ = _layer_forward_capture(lw_mid, st, hs, sin, cos,
+                                           want_caps=False)
         job["stage"] = "optimize"
         save_job()
 

@@ -16,17 +16,18 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from exllamav2_tpu.architecture import RopeStyle
 from exllamav2_tpu.cache import KVCache
 from exllamav2_tpu.models.modules import (
-    AttnWeights, MLPWeights, MoEWeights, ModelWeights, NormWeights,
-    StaticModel)
+    AttnWeights, EPMoEWeights, MLPWeights, MoEWeights, ModelWeights,
+    NormWeights, StaticModel)
 from exllamav2_tpu.ops.qmm import linear_apply
 from exllamav2_tpu.ops.rope import apply_rope
 
 __all__ = ["norm_apply", "attn_forward", "mlp_forward", "moe_forward",
-           "model_forward"]
+           "moe_ep_forward", "model_forward"]
 
 _NEG = -1e30
 
@@ -260,7 +261,9 @@ def model_forward_paged(w: ModelWeights, st: StaticModel, ids: jax.Array,
             x = x + attn_out + mlp_forward(x, lw.mlp, st)
             continue
         x = _residual_add(x, attn_out, st)
-        if isinstance(lw.mlp, MoEWeights):
+        if isinstance(lw.mlp, EPMoEWeights):
+            x = _residual_add(x, moe_ep_forward(x, lw.mlp, st), st)
+        elif isinstance(lw.mlp, MoEWeights):
             x = _residual_add(x, moe_forward(x, lw.mlp, st), st)
         else:
             x = _residual_add(x, mlp_forward(x, lw.mlp, st), st)
@@ -313,16 +316,132 @@ def mlp_forward(x: jax.Array, mw: MLPWeights, st: StaticModel) -> jax.Array:
     return out
 
 
+def _expert_view(stacked, e: int):
+    """Per-expert linear from a stacked one: slice the leading expert
+    axis off every data leaf (meta — k/n/bits — lives in the treedef and
+    already describes the single-expert shape)."""
+    return jax.tree_util.tree_map(lambda a: a[e], stacked)
+
+
+def moe_ep_forward(x: jax.Array, mw: EPMoEWeights,
+                   st: StaticModel) -> jax.Array:
+    """Expert-parallel MoE: each shard owns E/tp whole experts (stacked
+    leading axis sharded over the mesh), runs them full-width on the
+    replicated hidden state and psums the weighted outputs — one [BT, d]
+    reduce per layer instead of the column-split path's two all-gathers.
+    Outside shard_map (tp_axis None) the same code runs all experts on
+    one device, which is also the correctness-test path."""
+    b, t, d = x.shape
+    bt = b * t
+    hidden = norm_apply(x, mw.norm, st).reshape(bt, d)
+    router_logits = linear_apply(hidden, mw.router, fused=_fz(st))
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(probs, st.num_experts_per_tok)
+    if st.norm_topk_prob:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    mix = jnp.zeros_like(probs).at[
+        jnp.arange(probs.shape[0])[:, None], topi].set(topw)
+
+    e_local = jax.tree_util.tree_leaves(mw.w1)[0].shape[0]
+    if st.tp_axis is not None:
+        base = jax.lax.axis_index(st.tp_axis) * e_local
+    else:
+        base = 0
+    sparse = bt <= 32 and (jax.default_backend() == "tpu"
+                           or _FORCE_SPARSE_MOE[0])
+    hb = hidden.astype(jnp.bfloat16)
+    out = jnp.zeros((bt, d), jnp.float32)
+    for e in range(e_local):
+        w1, w2, w3 = (_expert_view(mw.w1, e), _expert_view(mw.w2, e),
+                      _expert_view(mw.w3, e))
+        mix_e = jnp.take(mix, base + e, axis=1)            # [BT]
+
+        def run(_):
+            gate = linear_apply(hb, w1, fused=_fz(st))
+            up = linear_apply(hb, w3, fused=_fz(st))
+            inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
+            y = linear_apply(inter, w2, fused=_fz(st))     # [BT, d]
+            return y * mix_e[:, None]
+
+        if sparse:
+            y = jax.lax.cond(jnp.any(mix_e > 0), run,
+                             lambda _: jnp.zeros((bt, d), jnp.float32),
+                             None)
+        else:
+            y = run(None)
+        out = out + y
+    if st.tp_axis is not None:
+        out = jax.lax.psum(out, st.tp_axis)
+    out = out.reshape(b, t, -1)
+    if mw.norm_post is not None:
+        out = norm_apply(out, mw.norm_post, st)
+    return out
+
+
+# capacity factor for the prefill dispatch path (tokens per expert
+# buffer = BT * topk * CF / E; routes past capacity drop that expert's
+# term, GShard/Switch-style). 2.0 keeps drops negligible for balanced
+# routers while still cutting FLOPs ~E/(topk*CF) vs dense mixing.
+_MOE_CAPACITY_FACTOR = [2.0]
+# dispatch kicks in above this many tokens (below it the dense mix is
+# cheap and exact)
+_MOE_DISPATCH_MIN_TOKENS = [256]
+
+
+def _moe_dispatch(hb, mix, mw, st):
+    """Capacity-based gather/dispatch (the TPU-native prefill MoE shape:
+    static [E, C] buffers, sorted-scatter combine — no reference analog;
+    the reference loops experts over ALL tokens, moe_mlp.py:291-317).
+
+    Each expert processes only its routed tokens (up to capacity C)
+    instead of the whole batch: FLOPs drop from BT*E to ~BT*topk*CF
+    expert-rows while staying fully static-shaped for XLA."""
+    bt, d = hb.shape
+    e_num = st.num_experts
+    topk = st.num_experts_per_tok
+    cap = int(np.ceil(bt * topk * _MOE_CAPACITY_FACTOR[0] / e_num))
+    cap = min(-(-cap // 8) * 8, bt)
+    onehot = mix > 0                                          # [BT, E]
+    pos = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1    # [BT, E]
+    # overflow routes park in a throwaway column (sliced off below)
+    pos_c = jnp.where(onehot & (pos < cap), pos, cap)
+    t_idx = jnp.broadcast_to(jnp.arange(bt, dtype=jnp.int32)[:, None],
+                             (bt, e_num))
+    e_idx = jnp.broadcast_to(jnp.arange(e_num, dtype=jnp.int32)[None, :],
+                             (bt, e_num))
+    disp = jnp.full((e_num, cap + 1), bt, jnp.int32)
+    disp = disp.at[e_idx.reshape(-1), pos_c.reshape(-1)].set(
+        t_idx.reshape(-1), mode="drop")
+    disp = disp[:, :cap]                                      # [E, C]
+    hpad = jnp.concatenate(
+        [hb, jnp.zeros((1, d), hb.dtype)], axis=0)            # sentinel row
+    mixp = jnp.concatenate(
+        [mix, jnp.zeros((1, e_num), mix.dtype)], axis=0)
+    out = jnp.zeros((bt, d), jnp.float32)
+    for e in range(e_num):
+        xe = hpad[disp[e]]                                    # [C, d]
+        gate = linear_apply(xe, mw.w1[e], fused=_fz(st))
+        up = linear_apply(xe, mw.w3[e], fused=_fz(st))
+        inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
+        inter = _tp_gather(inter, st)
+        y = linear_apply(inter, mw.w2[e], fused=_fz(st))      # [C, d]
+        y = _tp_gather(y, st)
+        wgt = mixp[disp[e], e]                                # [C]
+        out = out.at[disp[e]].add(y * wgt[:, None], mode="drop")
+    return out
+
+
 def moe_forward(x: jax.Array, mw: MoEWeights, st: StaticModel) -> jax.Array:
     """Block-sparse MoE (moe_mlp.py:282-317 analog).
 
     Decode (few tokens): each expert is wrapped in a lax.cond on "any
     token routed here", so unrouted experts stream no weights and burn no
     FLOPs — decode cost is proportional to top-k like the reference's
-    per-expert loop (moe_mlp.py:291-317). Prefill (many tokens): all
-    experts run on all tokens and the (mostly-zero) routing weights mix
-    the outputs — a dense batched-matmul formulation the MXU eats with no
-    gather/scatter (every expert is busy anyway at prefill batch sizes).
+    per-expert loop (moe_mlp.py:291-317). Mid-size batches: all experts
+    run on all tokens and the (mostly-zero) routing weights mix the
+    outputs — a dense batched-matmul formulation the MXU eats with no
+    gather/scatter. Large prefill: capacity-based dispatch
+    (_moe_dispatch) so each expert only touches its routed tokens.
     """
     b, t, d = x.shape
     bt = b * t
@@ -340,8 +459,17 @@ def moe_forward(x: jax.Array, mw: MoEWeights, st: StaticModel) -> jax.Array:
     # on the CPU interpreter it only doubles compile work
     sparse = bt <= 32 and (jax.default_backend() == "tpu"
                            or _FORCE_SPARSE_MOE[0])
-    out = None
     hb = hidden.astype(jnp.bfloat16)
+
+    if (not sparse and bt >= _MOE_DISPATCH_MIN_TOKENS[0]
+            and st.num_experts_per_tok < st.num_experts):
+        out = _moe_dispatch(hb, mix, mw, st)
+        out = out.reshape(b, t, -1)
+        if mw.norm_post is not None:
+            out = norm_apply(out, mw.norm_post, st)
+        return out
+
+    out = None
 
     def expert(e):
         def run(_):
@@ -388,7 +516,9 @@ def _block_forward(x, layer_w, st, layer, sin, cos, cache, past_len,
     attn_out, cache = attn_forward(
         x, layer_w.attn, st, layer, sin, cos, cache, past_len, attn_limit)
     x = _residual_add(x, attn_out, st)
-    if isinstance(layer_w.mlp, MoEWeights):
+    if isinstance(layer_w.mlp, EPMoEWeights):
+        x = _residual_add(x, moe_ep_forward(x, layer_w.mlp, st), st)
+    elif isinstance(layer_w.mlp, MoEWeights):
         x = _residual_add(x, moe_forward(x, layer_w.mlp, st), st)
     else:
         x = _residual_add(x, mlp_forward(x, layer_w.mlp, st), st)

@@ -248,17 +248,47 @@ def load_model(cfg: ModelConfig) -> tuple[ModelWeights, StaticModel]:
         mlp_norm_post = load_norm(tfm, k(arch.key_norm_2_post)) \
             if arch.key_norm_2_post else None
         if arch.is_moe:
-            mlp = MoEWeights(
-                norm=mlp_norm,
-                router=lin(arch.key_moe_gate.format(l=l)),
-                w1=tuple(lin(arch.key_moe_w1.format(l=l, e=e))
-                         for e in range(cfg.num_experts)),
-                w2=tuple(lin(arch.key_moe_w2.format(l=l, e=e))
-                         for e in range(cfg.num_experts)),
-                w3=tuple(lin(arch.key_moe_w3.format(l=l, e=e))
-                         for e in range(cfg.num_experts)),
-                norm_post=mlp_norm_post,
-            )
+            if (arch.key_moe_fused_w1
+                    and not _has(arch.key_moe_w1.format(l=l, e=0))
+                    and pre + arch.key_moe_fused_w1.format(l=l) in tfm):
+                # DBRX fused-expert storage: one raw [E*ffn, d] tensor
+                # per projection, row-blocks sliced per expert. w1/v1
+                # blocks are [out=ffn, in=d]; w2 blocks act as x @ w2_e,
+                # i.e. already [K=ffn, N=d].
+                ffn = cfg.intermediate_size
+                w1f = read_weight_f32(
+                    tfm, pre + arch.key_moe_fused_w1.format(l=l))
+                w2f = read_weight_f32(
+                    tfm, pre + arch.key_moe_fused_w2.format(l=l))
+                w3f = read_weight_f32(
+                    tfm, pre + arch.key_moe_fused_w3.format(l=l))
+
+                def blk(t, e):
+                    return t[e * ffn:(e + 1) * ffn]
+
+                mlp = MoEWeights(
+                    norm=mlp_norm,
+                    router=lin(arch.key_moe_gate.format(l=l)),
+                    w1=tuple(from_dense(np.ascontiguousarray(blk(w1f, e).T))
+                             for e in range(cfg.num_experts)),
+                    w2=tuple(from_dense(blk(w2f, e))
+                             for e in range(cfg.num_experts)),
+                    w3=tuple(from_dense(np.ascontiguousarray(blk(w3f, e).T))
+                             for e in range(cfg.num_experts)),
+                    norm_post=mlp_norm_post,
+                )
+            else:
+                mlp = MoEWeights(
+                    norm=mlp_norm,
+                    router=lin(arch.key_moe_gate.format(l=l)),
+                    w1=tuple(lin(arch.key_moe_w1.format(l=l, e=e))
+                             for e in range(cfg.num_experts)),
+                    w2=tuple(lin(arch.key_moe_w2.format(l=l, e=e))
+                             for e in range(cfg.num_experts)),
+                    w3=tuple(lin(arch.key_moe_w3.format(l=l, e=e))
+                             for e in range(cfg.num_experts)),
+                    norm_post=mlp_norm_post,
+                )
         elif arch.fused_gate_up and not _has(
                 "model.layers.{l}.mlp.up_proj".format(l=l)):
             fused = lin(arch.key_fused_gate_up.format(l=l))

@@ -16,7 +16,8 @@ from typing import Any
 import jax
 
 __all__ = ["NormWeights", "AttnWeights", "MLPWeights", "MoEWeights",
-           "LayerWeights", "ModelWeights", "StaticModel", "LayerStatic"]
+           "EPMoEWeights", "LayerWeights", "ModelWeights", "StaticModel",
+           "LayerStatic"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -74,6 +75,25 @@ class MoEWeights:
     w1: tuple
     w2: tuple
     w3: tuple
+    norm_post: NormWeights | None = None
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["norm", "router", "w1", "w2", "w3", "norm_post"],
+         meta_fields=[])
+@dataclasses.dataclass
+class EPMoEWeights:
+    """Expert-parallel MoE: w1/w2/w3 are SINGLE stacked linears whose
+    data leaves carry a leading expert axis [E, ...], sharded over the
+    mesh axis so each shard owns whole experts (SURVEY §2.5 EP row —
+    the reference keeps all experts local, moe_mlp.py). Full-width
+    expert matmuls + one psum replace the column-split path's two
+    all-gathers per MoE layer."""
+    norm: NormWeights
+    router: Any                      # replicated DenseLinear
+    w1: Any                          # stacked QuantLinear | DenseLinear
+    w2: Any
+    w3: Any
     norm_post: NormWeights | None = None
 
 

@@ -24,12 +24,13 @@ import dataclasses
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from exllamav2_tpu.cache import KVCache
 from exllamav2_tpu.models.modules import (
-    AttnWeights, LayerWeights, MLPWeights, MoEWeights, ModelWeights,
-    NormWeights, StaticModel)
+    AttnWeights, EPMoEWeights, LayerWeights, MLPWeights, MoEWeights,
+    ModelWeights, NormWeights, StaticModel)
 from exllamav2_tpu.quant.qtensor import QuantLinear, DenseLinear
 
 __all__ = ["make_mesh", "shard_model", "shard_cache", "shard_inputs"]
@@ -196,9 +197,13 @@ def tp_fusable(w: ModelWeights, st: StaticModel, tp: int) -> bool:
     for lw in w.layers:
         lins = [lw.attn.q, lw.attn.k, lw.attn.v, lw.attn.o]
         if isinstance(lw.mlp, MoEWeights):
+            # MoE layers go expert-parallel on the same axis: whole
+            # experts are distributed, so only uniformity + divisibility
+            # matter (no inter % tp constraint)
             if isinstance(lw.mlp.router, QuantLinear):
                 return False      # routers replicate; quantized = GSPMD
-            lins += list(lw.mlp.w1) + list(lw.mlp.w2) + list(lw.mlp.w3)
+            if not _ep_stackable(lw.mlp, tp):
+                return False
         else:
             lins += [lw.mlp.gate, lw.mlp.up, lw.mlp.down]
         for lin in lins:
@@ -215,6 +220,40 @@ def tp_fusable(w: ModelWeights, st: StaticModel, tp: int) -> bool:
             not _tp_fusable_linear(w.head) or w.head.n % tp):
         return False
     return True
+
+
+def _ep_stackable(mw: MoEWeights, tp: int) -> bool:
+    """Whole-expert distribution needs E % tp == 0 and structurally
+    identical experts (stacking is leaf-wise, meta lives in the
+    treedef)."""
+    import jax as _jax
+    if len(mw.w1) % tp:
+        return False
+    for grp in (mw.w1, mw.w2, mw.w3):
+        if len({_jax.tree_util.tree_structure(e) for e in grp}) != 1:
+            return False
+        shapes = [tuple(l.shape for l in _jax.tree_util.tree_leaves(e))
+                  for e in grp]
+        if len(set(shapes)) != 1:
+            return False
+        for e in grp:
+            if not _tp_fusable_linear(e):
+                return False
+            if isinstance(e, QuantLinear) and e.n != e.n_orig:
+                return False
+    return True
+
+
+def _tpf_stacked(lins, mesh):
+    """Stack per-expert linears on a leading expert axis and shard that
+    axis over "tp" (expert parallelism: each shard owns E/tp whole
+    experts). Returns (placed stacked linear, PartitionSpec pytree)."""
+    import jax as _jax
+    stacked = _jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lins)
+    placed = _jax.tree_util.tree_map(
+        lambda a: _put(a, mesh, P("tp")), stacked)
+    spec = _jax.tree_util.tree_map(lambda a: P("tp"), stacked)
+    return placed, spec
 
 
 def _tpf_linear(lin, mesh, kind: str, tp: int):
@@ -303,17 +342,13 @@ def shard_model_tp_fused(w: ModelWeights, st: StaticModel, mesh: Mesh,
         npw, nps = _tpf_norm(getattr(lw.mlp, "norm_post", None), mesh)
         if isinstance(lw.mlp, MoEWeights):
             rw, rs = _tpf_linear(lw.mlp.router, mesh, "rep", tp)
-            w1 = [_tpf_linear(e, mesh, "col", tp) for e in lw.mlp.w1]
-            w2 = [_tpf_linear(e, mesh, "col", tp) for e in lw.mlp.w2]
-            w3 = [_tpf_linear(e, mesh, "col", tp) for e in lw.mlp.w3]
-            mlp_w = MoEWeights(norm=n2w, router=rw,
-                               w1=tuple(a for a, _ in w1),
-                               w2=tuple(a for a, _ in w2),
-                               w3=tuple(a for a, _ in w3), norm_post=npw)
-            mlp_s = MoEWeights(norm=n2s, router=rs,
-                               w1=tuple(b for _, b in w1),
-                               w2=tuple(b for _, b in w2),
-                               w3=tuple(b for _, b in w3), norm_post=nps)
+            w1w, w1s = _tpf_stacked(lw.mlp.w1, mesh)
+            w2w, w2s = _tpf_stacked(lw.mlp.w2, mesh)
+            w3w, w3s = _tpf_stacked(lw.mlp.w3, mesh)
+            mlp_w = EPMoEWeights(norm=n2w, router=rw, w1=w1w, w2=w2w,
+                                 w3=w3w, norm_post=npw)
+            mlp_s = EPMoEWeights(norm=n2s, router=rs, w1=w1s, w2=w2s,
+                                 w3=w3s, norm_post=nps)
         else:
             gw, gs = _tpf_linear(lw.mlp.gate, mesh, "col", tp)
             uw, us = _tpf_linear(lw.mlp.up, mesh, "col", tp)

@@ -52,12 +52,13 @@ def random_quant_linear(rng, k: int, n: int, bits: int = 4,
 
 def random_model_weights(*, vocab=32000, hidden=4096, layers=32, heads=32,
                          kv_heads=32, inter=11008, max_seq=2048, bits=4,
-                         seed=0, dense=False):
-    """In-memory random model (ModelWeights, StaticModel) of real geometry."""
+                         seed=0, dense=False, moe=0, moe_topk=2):
+    """In-memory random model (ModelWeights, StaticModel) of real geometry.
+    moe > 0 makes every layer a block-sparse MoE with that many experts."""
     import jax.numpy as jnp
     from exllamav2_tpu.models.modules import (
-        AttnWeights, LayerWeights, MLPWeights, ModelWeights, NormWeights,
-        StaticModel, LayerStatic)
+        AttnWeights, LayerWeights, MLPWeights, MoEWeights, ModelWeights,
+        NormWeights, StaticModel, LayerStatic)
     from exllamav2_tpu.quant.qtensor import from_dense
     from exllamav2_tpu.ops.rope import build_sincos
 
@@ -80,8 +81,18 @@ def random_model_weights(*, vocab=32000, hidden=4096, layers=32, heads=32,
                            k=lin(hidden, kv_heads * head_dim),
                            v=lin(hidden, kv_heads * head_dim),
                            o=lin(heads * head_dim, hidden))
-        mlp = MLPWeights(norm=norm(), gate=lin(hidden, inter),
-                         up=lin(hidden, inter), down=lin(inter, hidden))
+        if moe:
+            mlp = MoEWeights(
+                norm=norm(),
+                router=from_dense(
+                    (rng.standard_normal((hidden, moe)) * 0.02)
+                    .astype(np.float32)),
+                w1=tuple(lin(hidden, inter) for _ in range(moe)),
+                w2=tuple(lin(inter, hidden) for _ in range(moe)),
+                w3=tuple(lin(hidden, inter) for _ in range(moe)))
+        else:
+            mlp = MLPWeights(norm=norm(), gate=lin(hidden, inter),
+                             up=lin(hidden, inter), down=lin(inter, hidden))
         lws.append(LayerWeights(attn=attn, mlp=mlp))
 
     from types import SimpleNamespace
@@ -101,7 +112,8 @@ def random_model_weights(*, vocab=32000, hidden=4096, layers=32, heads=32,
     st = StaticModel(
         num_layers=layers, num_heads=heads, num_kv_heads=kv_heads,
         head_dim=head_dim, hidden_size=hidden, vocab_size=vocab,
-        norm_eps=1e-5, layers=tuple(LayerStatic() for _ in range(layers)))
+        norm_eps=1e-5, layers=tuple(LayerStatic() for _ in range(layers)),
+        num_experts=moe, num_experts_per_tok=moe_topk if moe else 0)
     return w, st
 
 

@@ -163,3 +163,28 @@ def test_chunked_long_input_forward(tmp_path):
     rel2 = np.abs(np.asarray(last)[:, 0] - a[:, -1]).max() / \
         (np.abs(a[:, -1]).max() + 1e-9)
     assert rel2 < 0.02, rel2
+
+
+def test_moe_capacity_dispatch_matches_dense():
+    """The prefill capacity-dispatch path (static [E, C] buffers,
+    gather/scatter combine) must match the dense-mix formulation exactly
+    when no routes overflow capacity."""
+    import jax.numpy as jnp
+    from exllamav2_tpu.utils.testing import random_model_weights
+    from exllamav2_tpu.models import forward as F
+
+    w, st = random_model_weights(vocab=128, hidden=128, layers=1, heads=4,
+                                 kv_heads=2, inter=128, max_seq=64, bits=4,
+                                 seed=5, moe=4, moe_topk=2)
+    mw = w.layers[0].mlp
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 160, 128)) * 0.1,
+        jnp.bfloat16)                       # bt=320 -> dispatch path
+    y_disp = np.asarray(F.moe_forward(x, mw, st))
+    F._MOE_DISPATCH_MIN_TOKENS[0] = 10 ** 9
+    try:
+        y_dense = np.asarray(F.moe_forward(x, mw, st))
+    finally:
+        F._MOE_DISPATCH_MIN_TOKENS[0] = 256
+    rel = np.abs(y_disp - y_dense).max() / (np.abs(y_dense).max() + 1e-9)
+    assert rel < 5e-3, rel

@@ -198,3 +198,57 @@ def test_tp_fused_generator_serving(cpu_devices):
     sharded = gen.generate("hello world", max_new_tokens=6,
                            settings=Settings.greedy())
     assert sharded == plain, (sharded, plain)
+
+
+def test_tp_fused_moe_expert_parallel(cpu_devices):
+    """MoE layers in the fused TP path go EXPERT-parallel: whole experts
+    distributed over the axis (stacked leading-E arrays, psum reduce).
+    Logits must match the single-device paged forward (SURVEY §2.5 EP
+    row — the reference keeps all experts local)."""
+    import functools
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.models.forward import model_forward_paged
+    from exllamav2_tpu.models.modules import EPMoEWeights
+    from exllamav2_tpu.parallel import sharding as S
+
+    w, st = random_model_weights(
+        vocab=512, hidden=256, layers=2, heads=8, kv_heads=4,
+        inter=512, max_seq=128, bits=4, seed=19, moe=4, moe_topk=2)
+    tp = 2
+    assert S.tp_fusable(w, st, tp)
+
+    ids = np.array([[5, 9, 100, 7, 30, 40, 50, 60]], np.int32)
+    bt = np.asarray([[0, 1]], np.int32)
+    seqlens = np.asarray([0], np.int32)
+
+    def run_single():
+        cache = PagedKVCache.alloc(st.num_layers, 8, st.num_kv_heads,
+                                   st.head_dim, "bf16")
+        step = jax.jit(functools.partial(model_forward_paged,
+                                         last_token_only=True),
+                       static_argnums=(1,))
+        logits, _ = step(w, st, jnp.asarray(ids), cache,
+                         jnp.asarray(bt), jnp.asarray(seqlens))
+        return np.asarray(logits)
+
+    def run_tp():
+        mesh = make_mesh(tp, dp=1, devices=cpu_devices[:tp])
+        cache = PagedKVCache.alloc(st.num_layers, 8, st.num_kv_heads,
+                                   st.head_dim, "bf16")
+        with mesh:
+            w_tp, w_specs = S.shard_model_tp_fused(w, st, mesh, tp)
+            assert isinstance(w_tp.layers[0].mlp, EPMoEWeights)
+            cache_s = S.shard_paged_cache(cache, mesh)
+            cache_specs = S.paged_cache_pspecs(cache_s)
+            st_local = S.local_static(st, tp)
+            fwd_last, _ = S.make_tp_paged_forward(
+                mesh, st_local, w_specs, cache_specs)
+            po = jnp.zeros((1,), jnp.int32)
+            logits, _ = jax.jit(fwd_last)(
+                w_tp, jnp.asarray(ids), cache_s, jnp.asarray(bt),
+                jnp.asarray(seqlens), po)
+        return np.asarray(logits)
+
+    a, b = run_single(), run_tp()
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.02, rel
