@@ -66,7 +66,7 @@ class PagedKVCache:
             scales = None
             if k in ("q4", "q8"):
                 scales = jnp.zeros(
-                    (num_layers, kv_heads, rows, head_dim // 32),
+                    (num_layers, kv_heads, rows, KQ.num_groups(head_dim)),
                     jnp.bfloat16)
             return data, scales
 

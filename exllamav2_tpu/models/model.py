@@ -107,6 +107,52 @@ class Model:
         return step(self.weights, self.static, ids, cache,
                     jnp.int32(past_len), limit)
 
+    def forward_with_hooks(self, ids, cache: KVCache, past_len: int,
+                           pre_hooks: dict | None = None,
+                           post_hooks: dict | None = None):
+        """Layer-stepped forward with intervention hooks (the functional
+        analog of the reference's Intervention wrapper, module.py:251-291).
+
+        pre_hooks/post_hooks map layer index -> fn(hidden [B, T, d]) ->
+        hidden, applied before/after that decoder block. Runs the
+        unfused layer walk (one jit per block), so hooks are ordinary
+        Python/JAX functions — no recompilation of the whole model per
+        hook identity.
+        """
+        from exllamav2_tpu.models.forward import (
+            _block_forward, norm_apply)
+        from exllamav2_tpu.ops.qmm import linear_apply
+        pre_hooks = pre_hooks or {}
+        post_hooks = post_hooks or {}
+        w, st = self.weights, self.static
+        ids = jnp.asarray(ids, jnp.int32)
+        x = jnp.take(w.embed, ids, axis=0).astype(jnp.bfloat16)
+        if st.normalize_embeddings:
+            x = x * (st.hidden_size ** 0.5)
+        if st.embedding_multiplier != 1.0:
+            x = x * st.embedding_multiplier
+        pos = jnp.arange(past_len, past_len + ids.shape[1],
+                         dtype=jnp.int32)
+        sin = jnp.take(w.sin, pos, axis=0)
+        cos = jnp.take(w.cos, pos, axis=0)
+        for layer in range(st.num_layers):
+            if layer in pre_hooks:
+                x = pre_hooks[layer](x)
+            x, cache = _block_forward(x, w.layers[layer], st, layer, sin,
+                                      cos, cache, jnp.int32(past_len))
+            if layer in post_hooks:
+                x = post_hooks[layer](x)
+        xn = norm_apply(x, w.final_norm, st)
+        logits = linear_apply(
+            xn.reshape(-1, st.hidden_size), w.head).astype(jnp.float32)
+        logits = logits.reshape(*ids.shape, -1)[..., :st.vocab_size]
+        if st.logit_scale != 1.0:
+            logits = logits * st.logit_scale
+        if st.final_logit_softcap:
+            c = st.final_logit_softcap
+            logits = c * jnp.tanh(logits / c)
+        return logits, cache
+
     def generate_greedy(self, prompt_ids: np.ndarray, max_new_tokens: int,
                         max_seq: int | None = None,
                         stop_token: int | None = None) -> np.ndarray:

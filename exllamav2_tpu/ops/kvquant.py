@@ -26,26 +26,75 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["hadamard32", "kv_quant", "kv_dequant", "cache_bytes_per_el",
-           "CACHE_KINDS"]
+__all__ = ["hadamard32", "hadamard_for", "group_for", "num_groups",
+           "kv_quant", "kv_dequant", "cache_bytes_per_el", "CACHE_KINDS"]
 
 CACHE_KINDS = ("bf16", "fp8", "q4", "q8")
 _GROUP = 32
 
 
+def _paley1(q: int) -> np.ndarray:
+    """Paley-I Hadamard of order q+1 (q prime, q ≡ 3 mod 4): H = S + I
+    with S the skew matrix of the quadratic-residue (Jacobsthal)
+    pattern. Covers orders 12/20/24 which Sylvester doubling cannot
+    (reference ships stored Paley tables, hadamard.py)."""
+    residues = {(i * i) % q for i in range(1, q)}
+    chi = np.array([0] + [1 if i in residues else -1 for i in range(1, q)],
+                   np.float32)
+    qm = chi[(np.arange(q)[:, None] - np.arange(q)[None, :]) % q]
+    smat = np.zeros((q + 1, q + 1), np.float32)
+    smat[0, 1:] = 1.0
+    smat[1:, 0] = -1.0
+    smat[1:, 1:] = qm
+    h = smat + np.eye(q + 1, dtype=np.float32)
+    assert np.allclose(h @ h.T, (q + 1) * np.eye(q + 1))
+    return h
+
+
 def _had(n: int) -> np.ndarray:
-    h = np.array([[1]], np.float32)
+    """Unnormalized Hadamard of order n: Sylvester doubling from 1 (n a
+    power of two) or from a Paley-I seed (n = 2^a * {12, 20, 24})."""
+    for seed in (12, 20, 24):
+        if n % seed == 0 and (n // seed) & (n // seed - 1) == 0:
+            h = _paley1(seed - 1)
+            break
+    else:
+        assert n & (n - 1) == 0, f"no Hadamard construction for {n}"
+        h = np.array([[1]], np.float32)
     while h.shape[0] < n:
         h = np.block([[h, h], [h, -h]])
     return h
 
 
+def group_for(d: int) -> int:
+    """Rotation group width for a head_dim: largest constructible
+    Hadamard order dividing d (32 for the common dims; 16 for 80/112,
+    20 for 100, 24 for 72 ...)."""
+    for g in (32, 24, 20, 16, 12, 8, 4):
+        if d % g == 0:
+            return g
+    raise ValueError(f"head_dim {d} not divisible by 4")
+
+
+def num_groups(d: int) -> int:
+    """Scale entries per cached [.., D] row for quantized kinds."""
+    return d // group_for(d)
+
+
 _H32 = _had(_GROUP)
+_HAD_CACHE: dict[int, np.ndarray] = {_GROUP: _H32}
 
 
 def hadamard32(dtype=jnp.float32) -> jax.Array:
     """Unnormalized 32x32 Hadamard (entries +-1); H @ H = 32 I."""
     return jnp.asarray(_H32, dtype)
+
+
+def hadamard_for(g: int, dtype=jnp.float32) -> jax.Array:
+    """Unnormalized g x g Hadamard; H @ H.T = g I."""
+    if g not in _HAD_CACHE:
+        _HAD_CACHE[g] = _had(g)
+    return jnp.asarray(_HAD_CACHE[g], dtype)
 
 
 def kv_quant(x: jax.Array, kind: str):
@@ -55,10 +104,10 @@ def kv_quant(x: jax.Array, kind: str):
     if kind == "fp8":
         return x.astype(jnp.float8_e5m2), None
     d = x.shape[-1]
-    assert d % _GROUP == 0, d
-    g = d // _GROUP
-    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], g, _GROUP)
-    r = jnp.einsum("...i,ij->...j", xf, hadamard32())
+    gw = group_for(d)
+    g = d // gw
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], g, gw)
+    r = jnp.einsum("...i,ij->...j", xf, hadamard_for(gw))
     absmax = jnp.max(jnp.abs(r), axis=-1, keepdims=True)
     absmax = jnp.maximum(absmax, 1e-8)
     if kind == "q4":
@@ -92,18 +141,20 @@ def kv_dequant(data: jax.Array, scales: jax.Array | None, kind: str,
         hi = ((data >> 4) & 0x0F).astype(jnp.float32) - 8.0
         d2 = data.shape[-1]
         q = jnp.concatenate([lo, hi], axis=-1)         # natural order
-        g = q.shape[-1] // _GROUP
-        q = q.reshape(*q.shape[:-1], g, _GROUP)
+        gw = group_for(q.shape[-1])
+        g = q.shape[-1] // gw
+        q = q.reshape(*q.shape[:-1], g, gw)
         r = q * scales.astype(jnp.float32)[..., None]
-        y = jnp.einsum("...i,ij->...j", r, hadamard32()) * (1.0 / _GROUP)
+        y = jnp.einsum("...i,ji->...j", r, hadamard_for(gw)) * (1.0 / gw)
         return y.reshape(*data.shape[:-1], d2 * 2).astype(dtype)
     if kind == "q8":
         d = data.shape[-1]
-        g = d // _GROUP
-        q = data.astype(jnp.float32).reshape(*data.shape[:-1], g, _GROUP) \
+        gw = group_for(d)
+        g = d // gw
+        q = data.astype(jnp.float32).reshape(*data.shape[:-1], g, gw) \
             - 128.0
         r = q * scales.astype(jnp.float32)[..., None]
-        y = jnp.einsum("...i,ij->...j", r, hadamard32()) * (1.0 / _GROUP)
+        y = jnp.einsum("...i,ji->...j", r, hadamard_for(gw)) * (1.0 / gw)
         return y.reshape(*data.shape[:-1], d).astype(dtype)
     raise ValueError(kind)
 

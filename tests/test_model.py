@@ -188,3 +188,42 @@ def test_moe_capacity_dispatch_matches_dense():
         F._MOE_DISPATCH_MIN_TOKENS[0] = 256
     rel = np.abs(y_disp - y_dense).max() / (np.abs(y_dense).max() + 1e-9)
     assert rel < 5e-3, rel
+
+
+def test_forward_with_hooks_intervention():
+    """Layer hooks (Intervention analog): identity hooks must not change
+    logits; a zeroing pre-hook on layer 0 must."""
+    import jax.numpy as jnp
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+    from exllamav2_tpu.models.model import Model
+
+    m = Model.from_dir(make_tiny_llama("/tmp/hooks_m", quant=None, seed=31))
+    ids = np.array([[3, 17, 99, 9]], np.int32)
+    base, _ = m.forward(ids, m.new_cache(batch=1, max_seq=16), 0)
+    same, _ = m.forward_with_hooks(
+        ids, m.new_cache(batch=1, max_seq=16), 0,
+        post_hooks={0: lambda x: x})
+    rel = (np.abs(np.asarray(base) - np.asarray(same)).max()
+           / (np.abs(np.asarray(base)).max() + 1e-9))
+    assert rel < 2e-2, rel
+    diff, _ = m.forward_with_hooks(
+        ids, m.new_cache(batch=1, max_seq=16), 0,
+        pre_hooks={0: lambda x: x * 0.0})
+    assert np.abs(np.asarray(diff) - np.asarray(base)).max() > 1e-3
+
+
+def test_rank_reduce():
+    """SVD rank reduction (reference linear.py rank_reduce analog)."""
+    from exllamav2_tpu.utils.rank_reduce import (
+        rank_reduce_weight, rank_reduce_model)
+    from exllamav2_tpu.utils.testing import random_model_weights
+
+    w = np.random.default_rng(3).standard_normal((64, 48)).astype(np.float32)
+    r = rank_reduce_weight(w, 0.25)
+    assert np.linalg.matrix_rank(r) == 12
+    mw, _ = random_model_weights(vocab=64, hidden=64, layers=1, heads=2,
+                                 kv_heads=2, inter=64, max_seq=32,
+                                 seed=3, dense=True)
+    mw2 = rank_reduce_model(mw, 0.5)
+    a = np.asarray(mw2.layers[0].mlp.down.weight, np.float32)
+    assert np.linalg.matrix_rank(a, tol=1e-3) <= 32

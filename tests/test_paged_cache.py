@@ -135,3 +135,33 @@ def test_paged_forward_q4_close():
     ref = np.asarray(ref_logits)
     rel = np.abs(np.asarray(logits) - ref).max() / np.abs(ref).max()
     assert rel < 0.2, rel
+
+
+def test_kvquant_odd_head_dims():
+    """head_dims not divisible by 32 use a smaller Hadamard group
+    (Paley-I 20/24 or Sylvester 16) — quant/dequant must roundtrip
+    (the reference ships stored Paley tables for this, hadamard.py)."""
+    rng = np.random.default_rng(7)
+    for d, g in ((80, 20), (112, 16), (100, 20), (72, 24)):
+        assert KQ.group_for(d) == g
+        x = jnp.asarray(rng.standard_normal((3, 5, d)), jnp.float32)
+        for kind, tol in (("q4", 0.25), ("q8", 0.02)):
+            data, sc = KQ.kv_quant(x, kind)
+            assert sc.shape[-1] == d // g
+            y = np.asarray(KQ.kv_dequant(data, sc, kind, jnp.float32))
+            err = (np.abs(y - np.asarray(x)).max()
+                   / np.abs(np.asarray(x)).max())
+            assert err < tol, (d, kind, err)
+
+
+def test_paged_cache_odd_head_dim_append():
+    """Paged Q4 cache at head_dim 80 (fallback attention path)."""
+    rng = np.random.default_rng(8)
+    cache = PagedKVCache.alloc(1, 4, 2, 80, "q4", page_size=16)
+    k = jnp.asarray(rng.standard_normal((1, 3, 2, 80)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 3, 2, 80)) * 0.3, jnp.bfloat16)
+    bt = jnp.asarray([[0, 1]], jnp.int32)
+    cache = cache.append(0, bt, jnp.asarray([0], jnp.int32), k, v)
+    gk, _ = cache.gather_layer(0, bt)
+    gk = np.asarray(gk, np.float32).transpose(0, 2, 1, 3)
+    assert np.abs(gk[0, 0:3] - np.asarray(k, np.float32)[0]).max() < 0.2
