@@ -1,6 +1,7 @@
 """Console chat (reference examples/chat.py analog).
 
-Prompt formats: llama3 / chatml / raw. Streams tokens as they generate.
+Prompt formats: raw / llama / llama3 / chatml / mistral / gemma / phi3 /
+cohere / granite / deepseek. Streams tokens as they generate.
 
     python examples/chat.py -m <model_dir> -mode llama3
 """
@@ -31,6 +32,47 @@ PROMPT_FORMATS = {
                 "<|im_start|>assistant\n",
         "stop": ["<|im_end|>"],
     },
+    "llama": {                       # llama-2 [INST] style: the system
+        "system": "",                # prompt folds into the first [INST]
+        "first_turn": "[INST] <<SYS>>\n{system}\n<</SYS>>\n\n"
+                      "{user} [/INST]",
+        "turn": "[INST] {user} [/INST]",
+        "stop": ["[INST]"],
+    },
+    "mistral": {
+        "system": "<s>",
+        "turn": "[INST] {user} [/INST]",
+        "stop": ["[INST]", "</s>"],
+    },
+    "gemma": {
+        "system": "<bos>",           # gemma has no system role
+        "turn": "<start_of_turn>user\n{user}<end_of_turn>\n"
+                "<start_of_turn>model\n",
+        "stop": ["<end_of_turn>"],
+    },
+    "phi3": {
+        "system": "<|system|>\n{system}<|end|>\n",
+        "turn": "<|user|>\n{user}<|end|>\n<|assistant|>\n",
+        "stop": ["<|end|>"],
+    },
+    "cohere": {
+        "system": "<BOS_TOKEN><|START_OF_TURN_TOKEN|><|SYSTEM_TOKEN|>"
+                  "{system}<|END_OF_TURN_TOKEN|>",
+        "turn": "<|START_OF_TURN_TOKEN|><|USER_TOKEN|>{user}"
+                "<|END_OF_TURN_TOKEN|><|START_OF_TURN_TOKEN|>"
+                "<|CHATBOT_TOKEN|>",
+        "stop": ["<|END_OF_TURN_TOKEN|>"],
+    },
+    "granite": {
+        "system": "System:\n{system}\n\n",
+        "turn": "Question:\n{user}\n\nAnswer:\n",
+        "stop": ["Question:"],
+    },
+    "deepseek": {
+        "system": "{system}\n\n",
+        "turn": "User: {user}\n\nAssistant:",
+        "stop": ["User:"],
+    },
 }
 
 
@@ -55,13 +97,16 @@ def main():
 
     context = fmt["system"].format(system=args.system_prompt)
     print(" -- chat ready; Ctrl-C to exit")
+    first = True
     while True:
         try:
             user = input("\nYou: ")
         except (KeyboardInterrupt, EOFError):
             print()
             break
-        context += fmt["turn"].format(user=user)
+        turn = fmt.get("first_turn", fmt["turn"]) if first else fmt["turn"]
+        first = False
+        context += turn.format(user=user, system=args.system_prompt)
         job = generator.enqueue(DynamicJob(
             tokenizer.encode(context),
             max_new_tokens=args.max_response_tokens,
