@@ -25,9 +25,16 @@ def main():
     ap.add_argument("-t", "--tokens", type=int, default=128)
     ap.add_argument("-ps", "--prompt_speed", action="store_true")
     ap.add_argument("--greedy", action="store_true")
+    ap.add_argument("-rr", "--rank_reduce", type=float, default=0.0,
+                    help="keep this fraction of singular directions in "
+                         "dense MLP weights (reference -rr)")
     args = ap.parse_args()
 
     model, tokenizer, generator = model_init.init(args)
+    if args.rank_reduce:
+        from exllamav2_tpu.utils.rank_reduce import rank_reduce_model
+        model.weights = rank_reduce_model(model.weights, args.rank_reduce)
+        print(f" -- rank-reduced dense MLPs to {args.rank_reduce:.2f}")
     kind = model_init.cache_kind(args)
     print(f" -- model: {args.model_dir} (quant={model.config.quant_method})")
     print(f" -- cache: {kind}")
