@@ -47,13 +47,17 @@ __all__ = ["convert_model", "calibration_rows"]
 
 
 def calibration_rows(tokenizer, num_rows: int = 16, row_len: int = 256,
-                     text: str | None = None, seed: int = 0) -> np.ndarray:
+                     text: str | None = None, seed: int = 0,
+                     noise_rows: int = 1) -> np.ndarray:
     """Tokenized calibration rows (conversion/tokenize.py analog).
 
     `text` may be a string, a path to a .txt file, or a path to a .parquet
     file with a text column (the reference's standard calibration format).
     With nothing given, generates a deterministic pseudo-text mix (no
     network access for the reference's standard sets in this environment).
+    `noise_rows` appends rows of uniform-random token ids so quantization
+    stays calibrated for token statistics outside the text sample (the
+    reference's calibration noise rows, embedding.py:191-221).
     """
     if isinstance(text, str) and os.path.exists(text):
         if text.endswith(".parquet"):
@@ -69,10 +73,18 @@ def calibration_rows(tokenizer, num_rows: int = 16, row_len: int = 256,
                  "def", "return", "class", "import", "print", "x", "y"]
         text = " ".join(rng.choice(words, size=num_rows * row_len * 2))
     ids = tokenizer.encode(text)
-    need = num_rows * row_len
+    noise_rows = min(noise_rows, max(num_rows - 1, 0))
+    text_rows = num_rows - noise_rows
+    need = text_rows * row_len
     while len(ids) < need:
         ids = np.concatenate([ids, ids])
-    return ids[:need].reshape(num_rows, row_len).astype(np.int32)
+    rows = ids[:need].reshape(text_rows, row_len).astype(np.int32)
+    if noise_rows:
+        nrng = np.random.default_rng(seed + 0x5EED)
+        noise = nrng.integers(0, tokenizer.vocab_size,
+                              (noise_rows, row_len)).astype(np.int32)
+        rows = np.concatenate([rows, noise], axis=0)
+    return rows
 
 
 def _read_parquet_text(path: str) -> str:

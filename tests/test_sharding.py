@@ -252,3 +252,33 @@ def test_tp_fused_moe_expert_parallel(cpu_devices):
     a, b = run_single(), run_tp()
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_tp_fused_moe_generator_serving(cpu_devices):
+    """DynamicGenerator auto-selects the fused path for a MoE model on a
+    TP mesh (experts distributed EP-style) and matches single-device
+    greedy output."""
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator
+    from exllamav2_tpu.generator.sampler import Settings
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+
+    w, st = random_model_weights(
+        vocab=512, hidden=256, layers=2, heads=8, kv_heads=2,
+        inter=512, max_seq=2048, bits=4, seed=29, moe=4, moe_topk=2)
+    model = Model(w, st)
+    tk = ByteTokenizer(384)
+
+    def cache():
+        return PagedKVCache.alloc(st.num_layers, 16, st.num_kv_heads,
+                                  st.head_dim, "bf16")
+
+    plain = DynamicGenerator(model, cache(), tk).generate(
+        "hello", max_new_tokens=5, settings=Settings.greedy())
+    mesh = make_mesh(2, dp=1, devices=cpu_devices[:2])
+    gen = DynamicGenerator(model, cache(), tk, mesh=mesh)
+    assert gen._tp_fused
+    sharded = gen.generate("hello", max_new_tokens=5,
+                           settings=Settings.greedy())
+    assert sharded == plain, (sharded, plain)

@@ -245,3 +245,26 @@ def test_qwen2vl_generate_mrope(qwen2vl_setup):
     # the job must have picked up an MRoPE offset (image compresses 4
     # tokens into a 2x2 grid -> offset negative)
     # (implicitly validated by generate finishing without NaNs)
+
+
+def test_qwen2vl_video_embeddings(qwen2vl_setup):
+    """Multi-frame input: frames pair through temporal_patch_size=2 into
+    a (T=2, H, W) grid; generation runs end-to-end (reference
+    multimodal_video.py path)."""
+    model, tower = qwen2vl_setup
+    tok = ByteTokenizer(384)
+    rng = np.random.default_rng(5)
+    frames = [
+        (rng.random((16, 16, 3)) * 255).astype(np.uint8) for _ in range(4)]
+    mme = tower.get_video_embeddings(model, tok, frames,
+                                     text_alias="<vid>")
+    assert mme.thw_grid == (2, 4, 4)      # 4 frames / tps 2
+    assert mme.embeddings.shape == (2 * 4, model.static.hidden_size)
+    cache = PagedKVCache.alloc(
+        model.static.num_layers, 32, model.static.num_kv_heads,
+        model.static.head_dim, "bf16")
+    gen = DynamicGenerator(model, cache, tok, max_batch_size=4)
+    from exllamav2_tpu.generator.sampler import Settings
+    out = gen.generate("clip <vid> shows", max_new_tokens=6,
+                       settings=Settings.greedy(), embeddings=[mme])
+    assert isinstance(out, str)
