@@ -81,12 +81,20 @@ class DynamicJob:
                  return_top_tokens: int = 0,
                  return_probs: bool = False,
                  filter_prefer_eos: bool = False,
-                 post_sampling_hooks: list | None = None):
+                 post_sampling_hooks: list | None = None,
+                 min_new_tokens: int = 0,
+                 max_skips: int | None = 4,
+                 return_logits: bool = False):
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         self.prompt_ids = ids
+        self.min_new_tokens = min_new_tokens   # suppress EOS below this
+        self.max_skips = max_skips             # admission-failure budget
+        self.skips = 0
         # result extras + hooks (ref dynamic.py:1612-1616, hooks.py)
         self.return_top_tokens = return_top_tokens
         self.return_probs = return_probs
+        self.return_logits = return_logits
+        self.last_logits = None
         self.filter_prefer_eos = filter_prefer_eos
         self.post_sampling_hooks = post_sampling_hooks or []
         self.last_prob: float | None = None
@@ -383,6 +391,29 @@ class DynamicGenerator:
 
     def _free_capacity(self) -> int:
         return len(self.free_pages) + len(self.unreferenced)
+
+    def cancel(self, job: DynamicJob):
+        """Abort a job (reference generator.cancel): pending jobs are
+        dropped; active jobs release their pages/slot immediately. No
+        result is emitted for a cancelled job."""
+        if job in self.pending:
+            self.pending.remove(job)
+            job.status = "done"
+            job.eos_reason = "cancelled"
+            return
+        if job in self.active:
+            self.active.remove(job)
+            self._release_job_pages(job)
+            if job.slot >= 0:
+                self.free_slots.append(job.slot)
+                job.slot = -1
+            job.status = "done"
+            job.eos_reason = "cancelled"
+
+    def clear_queue(self):
+        """Cancel every pending and active job (reference clear_queue)."""
+        for job in list(self.pending) + list(self.active):
+            self.cancel(job)
 
     def _release_job_pages(self, job: DynamicJob):
         for page in job.pages2:
@@ -736,8 +767,10 @@ class DynamicGenerator:
 
     def _get_decode_fn(self, b_bucket: int, p_bucket: int,
                        masked: bool = False, use_dry: bool = False,
-                       biased: bool = False, topk: int = 0):
-        key = ("decode", b_bucket, p_bucket, masked, use_dry, biased, topk)
+                       biased: bool = False, topk: int = 0,
+                       ret_logits: bool = False):
+        key = ("decode", b_bucket, p_bucket, masked, use_dry, biased, topk,
+               ret_logits)
         if key in self._compiled:
             return self._compiled[key]
         st = self.model.static
@@ -751,6 +784,7 @@ class DynamicGenerator:
                 w, ids, cache, block_tables, cache_seqlens,
                 last_token_only=True, pos_offsets=pos_off)
             lg = logits[:, -1, :]
+            raw = lg if ret_logits else None
             if biased:
                 # per-job additive token bias (ref sampler.py:471-477),
                 # resident in a device pool uploaded once per job
@@ -764,13 +798,16 @@ class DynamicGenerator:
             lf = unpack_mask(packed_mask, lg.shape[-1]) if masked else None
             toks, probs, mu = sample(rkey, lg, params, logit_filter=lf)
             hist = hist.at[slots, cache_seqlens + 1].set(toks)
+            out = [cache, hist, toks, probs, mu]
             if topk:
                 dist = jax.nn.softmax(
                     jnp.where(lf, lg, -jnp.inf) if lf is not None else lg,
                     axis=-1)
                 tp, tt = jax.lax.top_k(dist, topk)
-                return cache, hist, toks, probs, mu, tt, tp
-            return cache, hist, toks, probs, mu
+                out += [tt, tp]
+            if ret_logits:
+                out.append(raw)
+            return tuple(out)
 
         self._compiled[key] = fn
         return fn
@@ -785,8 +822,25 @@ class DynamicGenerator:
         # admit pending jobs
         still = []
         for job in self.pending:
-            if not self._try_start(job):
-                still.append(job)
+            if self._try_start(job):
+                continue
+            # a job passed over while others run accrues a skip
+            # (ref max_skips admission semantics); over budget -> error
+            if self.active and job.max_skips is not None:
+                job.skips += 1
+                if job.skips > job.max_skips:
+                    job.status = "done"
+                    job.eos_reason = "max_skips"
+                    results.append({
+                        "job": job, "stage": "streaming", "eos": True,
+                        "text": "", "token_ids": np.zeros(0, np.int32),
+                        "identifier": job.identifier, "serial": id(job),
+                        "eos_reason": "max_skips", "full_completion": "",
+                        "new_tokens": 0, "prompt_tokens": job.prompt_len,
+                        "cached_tokens": 0, "time_enqueued": 0.0,
+                        "time_generate": 0.0, "tokens_per_second": 0.0})
+                    continue
+            still.append(job)
         self.pending = still
 
         # prefill round: one chunk per prefilling job
@@ -824,7 +878,8 @@ class DynamicGenerator:
             # per-step logit masks the verify path doesn't model
             constrained = any(
                 j.filters or j.banned_strings or j.blocked_tokens
-                or j.embeddings
+                or j.embeddings or j.new_tokens < j.min_new_tokens
+                or j.settings.banned_tokens
                 or (j.healing_token is not None and j.new_tokens == 0)
                 for j in grp)
             if spec and not constrained:
@@ -1015,8 +1070,9 @@ class DynamicGenerator:
         topk = max((j.return_top_tokens for j in jobs), default=0)
         topk = _bucket(topk, 4) if topk else 0
         self._key, sub = jax.random.split(self._key)
+        ret_logits = any(j.return_logits for j in jobs)
         fn = self._get_decode_fn(b_bucket, p_bucket, any_masked, use_dry,
-                                 biased, topk)
+                                 biased, topk, ret_logits)
         args = (self.model.weights, self.cache, self.hist,
                 bts, seqlens, slots, params, sub, pos_off)
         kw = {}
@@ -1025,6 +1081,10 @@ class DynamicGenerator:
         if any_masked:
             kw["packed_mask"] = packed
         out = fn(*args, **kw)
+        lg_h = None
+        if ret_logits:
+            out, raw = out[:-1], out[-1]
+            lg_h = np.asarray(raw, np.float32)
         if topk:
             self.cache, self.hist, toks, probs, mu, tt, tp = out
             tt_h, tp_h = np.asarray(tt), np.asarray(tp)
@@ -1043,6 +1103,8 @@ class DynamicGenerator:
             if tt_h is not None and job.return_top_tokens:
                 k = job.return_top_tokens
                 job.last_top = (tt_h[i, :k].copy(), tp_h[i, :k].copy())
+            job.last_logits = lg_h[i].copy() if (
+                lg_h is not None and job.return_logits) else None
             job.kv_pos += 1
             job.sequence = np.append(job.sequence, np.int32(tok))
             job.new_tokens += 1
@@ -1232,6 +1294,12 @@ class DynamicGenerator:
                 allow[:] = True
         eos_ids = [t for t in (self.tokenizer.eos_set() | job.stop_tokens)
                    if 0 <= t < vocab]
+        if job.new_tokens < job.min_new_tokens and eos_ids:
+            # EOS floor (ref min_new_tokens): ban stop tokens until met
+            if allow is None:
+                allow = base()
+            for t in eos_ids:
+                allow[t] = False
         for f in job.filters:
             if f.is_completed():
                 continue
@@ -1392,6 +1460,8 @@ class DynamicGenerator:
         if job.return_top_tokens and job.last_top is not None:
             r["top_k_tokens"] = job.last_top[0][None]
             r["top_k_probs"] = job.last_top[1][None]
+        if job.return_logits and job.last_logits is not None:
+            r["logits"] = job.last_logits[None]
         if eos:
             job.status = "done"
             t_gen = max(job.time_last_token - job.time_first_token, 1e-9)

@@ -109,3 +109,106 @@ def test_moe_model(tmp_path):
                                 max_seq=32)
     assert out.shape == (1, 9)
     assert np.isfinite(out).all()
+
+
+def test_min_new_tokens(model):
+    """EOS/stop tokens are suppressed until the floor is reached
+    (reference min_new_tokens)."""
+    from exllamav2_tpu.generator.dynamic import DynamicJob
+    gen = _gen(model)
+    tk = ByteTokenizer(384)
+    ids = tk.encode("hello")
+    # stop on a token that greedy decoding hits immediately: first run
+    # unconstrained to find the first generated token
+    j0 = gen.enqueue(DynamicJob(ids, max_new_tokens=1,
+                                settings=Settings.greedy()))
+    first = None
+    while j0.status != "done":
+        for r in gen.iterate():
+            if r["stage"] == "streaming" and len(r["token_ids"]):
+                first = int(r["token_ids"][0])
+    assert first is not None
+    gen2 = _gen(model)
+    job = gen2.enqueue(DynamicJob(
+        ids, max_new_tokens=8, min_new_tokens=4,
+        settings=Settings.greedy(), stop_conditions=[first]))
+    toks = []
+    while job.status != "done":
+        for r in gen2.iterate():
+            toks.extend(int(t) for t in r.get("token_ids", []))
+    # without the floor the job would stop at token 1; with it, at least
+    # min_new_tokens tokens generate (the stop token is banned early, so
+    # the sequence takes a different path)
+    assert job.new_tokens >= 4, job.new_tokens
+
+
+def test_max_skips(model):
+    """A pending job that cannot be admitted while others hog the cache
+    errors out with eos_reason max_skips after its budget."""
+    from exllamav2_tpu.generator.dynamic import DynamicJob
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator
+    cache = PagedKVCache.alloc(model.static.num_layers, 4,
+                               model.static.num_kv_heads,
+                               model.static.head_dim, "bf16",
+                               page_size=16)
+    gen = DynamicGenerator(model, cache, ByteTokenizer(384),
+                           max_batch_size=2)
+    tk = ByteTokenizer(384)
+    # job A occupies nearly all pages (4 pages * 16 = 64 rows)
+    a = gen.enqueue(DynamicJob(tk.encode("x" * 40), max_new_tokens=16,
+                               settings=Settings.greedy()))
+    # job B needs more pages than ever free while A runs
+    b = gen.enqueue(DynamicJob(tk.encode("y" * 40), max_new_tokens=16,
+                               settings=Settings.greedy(), max_skips=2))
+    reasons = {}
+    guard = 0
+    while (a.status != "done" or b.status != "done") and guard < 3000:
+        for r in gen.iterate():
+            if r.get("eos"):
+                reasons[r["serial"]] = r.get("eos_reason")
+        guard += 1
+    assert reasons.get(id(b)) == "max_skips", reasons
+
+
+def test_return_logits(model):
+    """return_logits=True surfaces the raw pre-penalty logit row per
+    streamed token (reference return_logits)."""
+    from exllamav2_tpu.generator.dynamic import DynamicJob
+    gen = _gen(model)
+    job = gen.enqueue(DynamicJob(TK.encode("hello"), max_new_tokens=3,
+                                 settings=Settings.greedy(),
+                                 return_logits=True))
+    rows = []
+    while job.status != "done":
+        for r in gen.iterate():
+            if r["stage"] == "streaming" and "logits" in r:
+                rows.append(r["logits"])
+    assert rows, "no logits returned"
+    assert rows[0].shape[-1] == model.static.vocab_size \
+        or rows[0].shape[-1] >= model.static.vocab_size
+    assert np.isfinite(rows[0]).all()
+
+
+def test_cancel_and_clear_queue(model):
+    """cancel() frees an active job's pages mid-generation; clear_queue
+    drains everything (reference cancel/clear_queue)."""
+    from exllamav2_tpu.generator.dynamic import DynamicJob
+    gen = _gen(model)
+    a = gen.enqueue(DynamicJob(TK.encode("hello"), max_new_tokens=32,
+                               settings=Settings.greedy()))
+    b = gen.enqueue(DynamicJob(TK.encode("world"), max_new_tokens=32,
+                               settings=Settings.greedy()))
+    for _ in range(3):
+        gen.iterate()
+    free_before = len(gen.free_pages)
+    gen.cancel(a)
+    assert a.status == "done" and a.eos_reason == "cancelled"
+    assert a not in gen.active
+    assert len(gen.free_pages) > free_before
+    gen.clear_queue()
+    assert not gen.active and not gen.pending
+    # generator still usable afterwards
+    out = gen.generate("again", max_new_tokens=4,
+                       settings=Settings.greedy())
+    assert isinstance(out, str)
