@@ -1,18 +1,38 @@
 """pytest bootstrap plugin: never dial the axon TPU tunnel from tests.
 
-Loaded via `addopts = -p noaxon` (pytest.ini) BEFORE pytest's fd capture
-starts, so the re-exec'd interpreter keeps the real stdout/stderr. With
-`PALLAS_AXON_POOL_IPS` set, the sitecustomize PJRT registration can block
-`import jax` indefinitely when the tunnel is wedged (and adds startup
-cost even when healthy); registration happens at interpreter startup —
-before any pytest code — so the only reliable fix is one re-exec with a
-cleaned environment.
+Loaded via `addopts = -p noaxon` (pytest.ini). With
+`PALLAS_AXON_POOL_IPS` set, the sitecustomize PJRT registration can
+block `import jax` indefinitely when the tunnel is wedged (and adds
+startup cost even when healthy); registration happens at interpreter
+startup — before any pytest code — so the only reliable fix is one
+re-exec with a cleaned environment.
+
+The re-exec happens inside pytest_load_initial_conftests (not at module
+import): pytest's fd-level capture is already active by the time plugin
+code runs, so a bare execve would leave the new interpreter writing
+into pytest's temp capture files and all test output would vanish.
+Suspending global capture first restores the real stdout/stderr fds,
+which the exec'd process then inherits.
 """
 
 import os
 import sys
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and "jax" not in sys.modules:
+import pytest
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_load_initial_conftests(early_config, parser, args):
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    if "jax" in sys.modules:        # too late to matter; don't loop
+        return
+    capman = early_config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.suspend_global_capture(in_=True)
+        except Exception:
+            pass
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
