@@ -53,8 +53,10 @@ def calibration_rows(tokenizer, num_rows: int = 16, row_len: int = 256,
 
     `text` may be a string, a path to a .txt file, or a path to a .parquet
     file with a text column (the reference's standard calibration format).
-    With nothing given, generates a deterministic pseudo-text mix (no
-    network access for the reference's standard sets in this environment).
+    With nothing given, uses the bundled standard mix — original prose /
+    code / multilingual / numeric text spanning the same domains as the
+    reference's curated set (conversion/tokenize.py standard_cal_data;
+    no network access here, so the corpus is bundled, not downloaded).
     `noise_rows` appends rows of uniform-random token ids so quantization
     stays calibrated for token statistics outside the text sample (the
     reference's calibration noise rows, embedding.py:191-221).
@@ -66,12 +68,8 @@ def calibration_rows(tokenizer, num_rows: int = 16, row_len: int = 256,
             with open(text) as f:
                 text = f.read()
     if text is None:
-        rng = np.random.default_rng(seed)
-        words = ["the", "of", "and", "to", "in", "a", "is", "that", "for",
-                 "it", "model", "data", "code", "time", "world", "value",
-                 "number", "state", "system", "result", "42", "3.14",
-                 "def", "return", "class", "import", "print", "x", "y"]
-        text = " ".join(rng.choice(words, size=num_rows * row_len * 2))
+        from exllamav2_tpu.convert.standard_cal import STANDARD_CAL_TEXT
+        text = STANDARD_CAL_TEXT
     ids = tokenizer.encode(text)
     noise_rows = min(noise_rows, max(num_rows - 1, 0))
     text_rows = num_rows - noise_rows
@@ -226,24 +224,33 @@ def optimize_allocation(slots: list[list[tuple[int, float]]],
     """slots[i] = [(cost_bits, err), ...] -> chosen option index per slot.
 
     Minimizes sum(err) under the budget (ext_c.sim_anneal +
-    optimize.py:129-158 greedy top-up). Options are sorted by cost; the
-    returned index refers to that sorted order.
+    optimize.py:129-158 greedy top-up). The returned index refers to the
+    CALLER's original option order (the internal cost sort is mapped back
+    through its permutation, so shape-dependent cost crossovers between
+    the caller's ordering and the per-slot true costs cannot silently
+    select a different option than the one chosen).
     """
     rng = np.random.default_rng(seed)
     n = len(slots)
     choice = [0] * n                       # cheapest first (options sorted)
+    order = []                             # sorted position -> original idx
     for i, opts in enumerate(slots):
-        slots[i] = sorted(opts, key=lambda o: o[0])
+        srt = sorted(range(len(opts)), key=lambda j: opts[j][0])
+        order.append(srt)
+        slots[i] = [opts[j] for j in srt]
+    def unsorted(ch):
+        return [order[i][ch[i]] for i in range(n)]
+
     cost = sum(slots[i][choice[i]][0] for i in range(n))
     err = sum(slots[i][choice[i]][1] for i in range(n))
     if cost > budget_bits:
-        return choice                      # budget below minimum: floor
+        return unsorted(choice)            # budget below minimum: floor
 
     # native C++ annealer when available (ext_quant.cpp sim_anneal analog)
     from exllamav2_tpu.native import sim_anneal as native_sim_anneal
     native = native_sim_anneal(slots, budget_bits, iters, seed)
     if native is not None:
-        return native
+        return unsorted(native)
 
     temp = max(e for sl in slots for _, e in sl) + 1e-9
     for it in range(iters):
@@ -276,7 +283,7 @@ def optimize_allocation(slots: list[list[tuple[int, float]]],
             choice[i] = j
             cost += dc
             improved = True
-    return choice
+    return unsorted(choice)
 
 
 # ---------------------------------------------------------------------------
@@ -420,11 +427,15 @@ def _load_layer_recons(path: str, subs: list[_Sub]) -> dict[str, np.ndarray]:
 def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
                   head_bits: int = 6, cal_rows: int = 8,
                   cal_len: int = 256, cal_text: str | None = None,
-                  seed: int = 0, progress=print) -> str:
+                  seed: int = 0, progress=print,
+                  shard_size_mb: float = 8192) -> str:
     """Convert an FP16/BF16 checkpoint to EXL2 at `bits` average bpw.
 
     head_bits: 2..8 quantizes lm_head at that width (reference
     quant_lm_head, quantize.py:443-543); 16/None keeps it fp16.
+    shard_size_mb: outputs larger than this split into numbered
+    safetensors shards with a weight-map index (reference
+    compile.py:176+ output_shard_size; 0 disables splitting).
     """
     os.makedirs(out_dir, exist_ok=True)
     quant_dir = os.path.join(out_dir, "quant")
@@ -549,13 +560,9 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
         choice = optimize_allocation([list(s) for s in slots], budget, seed)
         strategy = {}
         for (l, kind), ci in zip(slot_meta, choice):
-            opts = attn_opts if kind == "attn" else mlp_opts
-            # the optimizer works on cost-sorted options; recover the
-            # QParams by matching the chosen exact cost among candidates
-            costs = [(opts[i].total_bits(4096, 4096), i)
-                     for i in range(len(opts))]
-            srt = sorted(range(len(opts)), key=lambda i: costs[i][0])
-            strategy[f"{l}.{kind}"] = srt[ci]
+            # choice indices refer to the measurement opt_list order,
+            # which is exactly the attn_opts/mlp_opts order
+            strategy[f"{l}.{kind}"] = ci
         job["strategy"] = strategy
         job["stage"] = "quantize"
         save_job()
@@ -653,8 +660,7 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
             out_tensors[key] = stf.get_tensor(key).copy()
         stf.close()
 
-    write_safetensors(os.path.join(out_dir, "model.safetensors"),
-                      out_tensors, dtypes=dtypes)
+    _write_model_files(out_dir, out_tensors, dtypes, shard_size_mb)
     for fn in os.listdir(model_dir):
         if fn.endswith(".json") or fn.startswith("tokenizer"):
             shutil.copy(os.path.join(model_dir, fn),
@@ -673,6 +679,40 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     save_job()
     progress(f" -- compiled -> {out_dir}")
     return out_dir
+
+
+def _write_model_files(out_dir: str, tensors: dict, dtypes: dict,
+                       shard_size_mb: float) -> None:
+    """Write model.safetensors, size-splitting into numbered shards with
+    a weight-map index when over shard_size_mb (reference
+    compile.py:176+; huggingface sharded-checkpoint convention —
+    TensorFileMap prefers the index at load)."""
+    limit = int(shard_size_mb * 1024 * 1024) if shard_size_mb else 0
+    total = sum(t.nbytes for t in tensors.values())
+    if not limit or total <= limit:
+        write_safetensors(os.path.join(out_dir, "model.safetensors"),
+                          tensors, dtypes=dtypes)
+        return
+    shards: list[dict] = [{}]
+    sizes = [0]
+    for name, t in tensors.items():
+        if sizes[-1] + t.nbytes > limit and shards[-1]:
+            shards.append({})
+            sizes.append(0)
+        shards[-1][name] = t
+        sizes[-1] += t.nbytes
+    n = len(shards)
+    index = {"metadata": {"total_size": total}, "weight_map": {}}
+    for i, shard in enumerate(shards):
+        fn = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+        write_safetensors(os.path.join(out_dir, fn), shard,
+                          dtypes={k: v for k, v in dtypes.items()
+                                  if k in shard})
+        for name in shard:
+            index["weight_map"][name] = fn
+    with open(os.path.join(out_dir, "model.safetensors.index.json"),
+              "w") as f:
+        json.dump(index, f, indent=2)
 
 
 def _bias_of(lin):

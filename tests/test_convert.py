@@ -71,10 +71,56 @@ def test_optimizer_respects_budget():
                       for b in (2, 3, 4, 5, 6, 8)])
     budget = 10 * 4000
     choice = optimize_allocation([list(s) for s in slots], budget)
-    srt = [sorted(s) for s in slots]
-    cost = sum(srt[i][c][0] for i, c in enumerate(choice))
+    # returned indices refer to the caller's original option order
+    cost = sum(slots[i][c][0] for i, c in enumerate(choice))
     assert cost <= budget
     assert cost > 10 * 2000      # used more than the floor
+
+
+def test_optimizer_returns_original_order_indices():
+    """Indices refer to the caller's option order even when that order is
+    not cost-sorted (regression: strategy recovery used to re-derive the
+    sort from a fixed-shape proxy and could pick a different option)."""
+    # options listed most-expensive first
+    slots = [[(b * 1000, float(np.exp(-b))) for b in (8, 6, 5, 4, 3, 2)]
+             for _ in range(4)]
+    choice = optimize_allocation([list(s) for s in slots], 4 * 2000)
+    # budget only fits the cheapest option: index 5 in the original order
+    assert choice == [5, 5, 5, 5], choice
+    choice = optimize_allocation([list(s) for s in slots], 4 * 8000)
+    cost = sum(slots[i][c][0] for i, c in enumerate(choice))
+    assert cost <= 4 * 8000
+    assert cost > 4 * 2000
+
+
+def test_sharded_compile_output(tmp_path):
+    """A small shard limit splits the compiled model into numbered
+    safetensors + weight-map index (reference compile.py:176+), and the
+    loader reads the sharded layout back identically."""
+    import json
+    import os
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+    from exllamav2_tpu.models.model import Model
+
+    src = str(tmp_path / "src")
+    make_tiny_llama(src, quant=None, head_scale=6.0)
+    out = str(tmp_path / "out")
+    convert_model(src, out, bits=4.0, cal_rows=2, cal_len=64,
+                  progress=lambda *a, **k: None, shard_size_mb=0.2)
+    idx_path = os.path.join(out, "model.safetensors.index.json")
+    assert os.path.exists(idx_path)
+    assert not os.path.exists(os.path.join(out, "model.safetensors"))
+    with open(idx_path) as f:
+        idx = json.load(f)
+    shards = sorted(set(idx["weight_map"].values()))
+    assert len(shards) >= 2, shards
+    for fn in shards:
+        assert os.path.exists(os.path.join(out, fn))
+    model = Model.from_dir(out)          # TensorFileMap follows the index
+    cache = model.new_cache(batch=1, max_seq=32)
+    import jax.numpy as jnp
+    logits, _ = model.forward(jnp.ones((1, 4), jnp.int32), cache, 0)
+    assert np.isfinite(np.asarray(logits)).all()
 
 
 def test_end_to_end_convert(tmp_path):
