@@ -50,17 +50,23 @@ def rope_params(cfg) -> tuple[np.ndarray, float]:
         inv_freq = 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
 
     elif rope_type == "dynamic":
-        # HF dynamic-NTK evaluated at the target length: the effective base
-        # grows with seq_len; we bake the table for max_seq_len
-        # (transformers modeling_rope_utils _compute_dynamic_ntk_parameters)
+        # HF dynamic-NTK recomputes the base as the sequence grows
+        # (transformers modeling_rope_utils _compute_dynamic_ntk_parameters:
+        # alpha = 1 while seq_len <= original_max, then grows with seq_len).
+        # A static table can't depend on runtime length, so bake the base
+        # PER POSITION: rows t < orig_max use the original base (exact HF
+        # match for short contexts), rows beyond use alpha evaluated at
+        # t + 1 — which matches HF for the most-attended recent positions
+        # of a long context. build_sincos special-cases this.
         factor = float(rs.get("factor", 1.0))
         orig_max = int(rs.get("original_max_position_embeddings",
                               cfg.original_max_position_embeddings
                               or cfg.max_position_embeddings))
         seq_len = max(getattr(cfg, "max_seq_len", orig_max), orig_max)
         alpha = factor * seq_len / orig_max - (factor - 1)
-        base = base * alpha ** (dim / (dim - 2))
-        inv_freq = 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+        base_l = base * alpha ** (dim / (dim - 2))
+        inv_freq = 1.0 / (base_l ** (np.arange(0, dim, 2,
+                                               dtype=np.float64) / dim))
 
     elif rope_type == "llama3":
         # reference rope.py:35-75
@@ -135,11 +141,32 @@ def rope_params(cfg) -> tuple[np.ndarray, float]:
 
 def build_sincos(cfg, max_len: int | None = None,
                  dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
-    """-> (sin, cos) [max_len, rotary_dim/2] tables (device.py:118-170)."""
+    """-> (sin, cos) [max_len, rotary_dim/2] tables (device.py:118-170).
+
+    Dynamic-NTK checkpoints get a per-position base: rows below
+    original_max_position_embeddings use the unscaled base (alpha = 1,
+    exactly HF's short-context behavior), rows beyond use alpha evaluated
+    at that position's length."""
     inv_freq, scale = rope_params(cfg)
     max_len = max_len or cfg.max_seq_len
     t = np.arange(max_len, dtype=np.float64)
-    freqs = np.outer(t, inv_freq)
+
+    rs = getattr(cfg, "rope_scaling", None) or {}
+    if rs.get("rope_type", rs.get("type")) == "dynamic":
+        dim = getattr(cfg, "rotary_dim", None) or cfg.head_dim
+        base = float(cfg.rotary_embedding_base)
+        factor = float(rs.get("factor", 1.0))
+        orig_max = int(rs.get("original_max_position_embeddings",
+                              cfg.original_max_position_embeddings
+                              or cfg.max_position_embeddings))
+        alpha_t = np.maximum(
+            factor * (t + 1.0) / orig_max - (factor - 1.0), 1.0)
+        base_t = base * alpha_t ** (dim / (dim - 2))       # [T]
+        exp = np.arange(0, dim, 2, dtype=np.float64) / dim  # [rot/2]
+        inv_freq_t = 1.0 / (base_t[:, None] ** exp[None, :])
+        freqs = t[:, None] * inv_freq_t
+    else:
+        freqs = np.outer(t, inv_freq)
     sin = np.sin(freqs) * scale
     cos = np.cos(freqs) * scale
     return jnp.asarray(sin, dtype=dtype), jnp.asarray(cos, dtype=dtype)

@@ -28,8 +28,42 @@ class TokenizerBase:
     pad_token_id: int | None = None
     newline_token_id: int | None = None
 
-    def encode(self, text: str, add_bos: bool = False) -> np.ndarray:
+    def special_tokens(self) -> dict[str, int]:
+        """Special-token string -> control id map (for encode splitting)."""
+        return {}
+
+    def _encode_raw(self, text: str) -> list[int]:
+        """Backend encode of literal text (no special-token matching)."""
         raise NotImplementedError
+
+    def encode(self, text: str, add_bos: bool = False,
+               encode_special_tokens: bool = False) -> np.ndarray:
+        """Encode text; with encode_special_tokens=True, embedded
+        special-token strings ("<|im_start|>"-style chat markers) are
+        split out and encoded as their control ids instead of as literal
+        characters (reference tokenizer/tokenizer.py:385-600)."""
+        specials = self.special_tokens() if encode_special_tokens else None
+        if specials:
+            import re
+            pat = getattr(self, "_special_re", None)
+            if pat is None:
+                keys = sorted(specials, key=len, reverse=True)
+                pat = re.compile("|".join(re.escape(k) for k in keys))
+                self._special_re = pat
+            ids: list[int] = []
+            pos = 0
+            for m in pat.finditer(text):
+                if m.start() > pos:
+                    ids += list(self._encode_raw(text[pos:m.start()]))
+                ids.append(specials[m.group(0)])
+                pos = m.end()
+            if pos < len(text):
+                ids += list(self._encode_raw(text[pos:]))
+        else:
+            ids = list(self._encode_raw(text))
+        if add_bos and self.bos_token_id is not None:
+            ids = [self.bos_token_id] + ids
+        return np.asarray(ids, np.int32)
 
     def decode(self, ids) -> str:
         raise NotImplementedError
@@ -160,11 +194,16 @@ class ByteTokenizer(TokenizerBase):
         self.pad_token_id = 258 if vocab_size > 258 else None
         self.newline_token_id = 10
 
-    def encode(self, text: str, add_bos: bool = False) -> np.ndarray:
-        ids = list(text.encode("utf-8"))
-        if add_bos and self.bos_token_id is not None:
-            ids = [self.bos_token_id] + ids
-        return np.asarray(ids, np.int32)
+    def special_tokens(self) -> dict[str, int]:
+        d = {}
+        if self.bos_token_id is not None:
+            d["<s>"] = self.bos_token_id
+        if self.eos_token_id is not None:
+            d["</s>"] = self.eos_token_id
+        return d
+
+    def _encode_raw(self, text: str) -> list[int]:
+        return list(text.encode("utf-8"))
 
     def decode(self, ids) -> str:
         bs = bytes(int(i) for i in np.asarray(ids).reshape(-1)
@@ -185,6 +224,7 @@ class Tokenizer(TokenizerBase):
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 cfg = json.load(f)
+        self._cfg = cfg
 
         tk_json = os.path.join(model_dir, "tokenizer.json")
         sp_model = os.path.join(model_dir, "tokenizer.model")
@@ -193,6 +233,14 @@ class Tokenizer(TokenizerBase):
             self._hf = HFTokenizer.from_file(tk_json)
             self._sp = None
             self.vocab_size = self._hf.get_vocab_size()
+            # default encode must be LITERAL (reference semantics:
+            # special-token strings in prompts only become control ids
+            # when encode_special_tokens=True); newer tokenizers expose
+            # this directly, older ones keep the (matching) behavior
+            try:
+                self._hf.encode_special_tokens = True
+            except Exception:
+                pass
         elif os.path.exists(sp_model):
             import sentencepiece
             self._sp = sentencepiece.SentencePieceProcessor()
@@ -232,14 +280,39 @@ class Tokenizer(TokenizerBase):
         i = self._sp.piece_to_id(piece)
         return i if i >= 0 else default
 
-    def encode(self, text: str, add_bos: bool = False) -> np.ndarray:
+    def special_tokens(self) -> dict[str, int]:
+        d = getattr(self, "_specials", None)
+        if d is not None:
+            return d
+        d = {}
+        # tokenizer_config.json added_tokens_decoder {id: {content, special}}
+        for sid, meta in (self._cfg.get("added_tokens_decoder")
+                          or {}).items():
+            if isinstance(meta, dict) and meta.get("special"):
+                d[meta["content"]] = int(sid)
+        at_path = os.path.join(self.model_dir, "added_tokens.json")
+        if os.path.exists(at_path):
+            with open(at_path) as f:
+                for tok, sid in json.load(f).items():
+                    d.setdefault(tok, int(sid))
         if self._hf is not None:
-            ids = self._hf.encode(text, add_special_tokens=False).ids
+            try:
+                for sid, tok in self._hf.get_added_tokens_decoder().items():
+                    if getattr(tok, "special", False):
+                        d.setdefault(tok.content, int(sid))
+            except Exception:
+                pass
         else:
-            ids = self._sp.EncodeAsIds(text)
-        if add_bos and self.bos_token_id is not None:
-            ids = [self.bos_token_id] + list(ids)
-        return np.asarray(ids, np.int32)
+            for i in range(self.vocab_size):
+                if self._sp.IsControl(i):
+                    d.setdefault(self._sp.IdToPiece(i), i)
+        self._specials = d
+        return d
+
+    def _encode_raw(self, text: str) -> list[int]:
+        if self._hf is not None:
+            return list(self._hf.encode(text, add_special_tokens=False).ids)
+        return list(self._sp.EncodeAsIds(text))
 
     def decode(self, ids) -> str:
         ids = [int(i) for i in np.asarray(ids).reshape(-1) if int(i) >= 0]

@@ -143,32 +143,48 @@ def test_min_new_tokens(model):
 
 
 def test_max_skips(model):
-    """A pending job that cannot be admitted while others hog the cache
-    errors out with eos_reason max_skips after its budget."""
+    """A pending job accrues a skip when a later job is admitted ahead of
+    it; on exhausting max_skips the queue stalls (no further admissions)
+    until it starts — it is never killed (reference max_skips
+    semantics)."""
     from exllamav2_tpu.generator.dynamic import DynamicJob
     from exllamav2_tpu.cache_paged import PagedKVCache
     from exllamav2_tpu.generator.dynamic import DynamicGenerator
-    cache = PagedKVCache.alloc(model.static.num_layers, 4,
+    cache = PagedKVCache.alloc(model.static.num_layers, 8,
                                model.static.num_kv_heads,
                                model.static.head_dim, "bf16",
                                page_size=16)
     gen = DynamicGenerator(model, cache, ByteTokenizer(384),
-                           max_batch_size=2)
+                           max_batch_size=4)
     tk = ByteTokenizer(384)
-    # job A occupies nearly all pages (4 pages * 16 = 64 rows)
+    # A takes 4 of the 7 usable pages (page 0 is the null page)
     a = gen.enqueue(DynamicJob(tk.encode("x" * 40), max_new_tokens=16,
                                settings=Settings.greedy()))
-    # job B needs more pages than ever free while A runs
-    b = gen.enqueue(DynamicJob(tk.encode("y" * 40), max_new_tokens=16,
-                               settings=Settings.greedy(), max_skips=2))
-    reasons = {}
+    # B needs 5 pages — more than ever free while A runs
+    b = gen.enqueue(DynamicJob(tk.encode("y" * 60), max_new_tokens=16,
+                               settings=Settings.greedy(), max_skips=1))
+    # C fits alongside A, so it is admitted ahead of B -> B skips once
+    c = gen.enqueue(DynamicJob(tk.encode("z" * 20), max_new_tokens=8,
+                               settings=Settings.greedy()))
+    # D also fits, but by then B has exhausted max_skips: the queue must
+    # stall and D must not start before B does
+    d = gen.enqueue(DynamicJob(tk.encode("w" * 20), max_new_tokens=8,
+                               settings=Settings.greedy()))
+    started = []
     guard = 0
-    while (a.status != "done" or b.status != "done") and guard < 3000:
-        for r in gen.iterate():
-            if r.get("eos"):
-                reasons[r["serial"]] = r.get("eos_reason")
+    jobs = (a, b, c, d)
+    while any(j.status != "done" for j in jobs) and guard < 3000:
+        for j in jobs:
+            if j.status != "pending" and id(j) not in started:
+                started.append(id(j))
+        gen.iterate()
         guard += 1
-    assert reasons.get(id(b)) == "max_skips", reasons
+    assert guard < 3000
+    assert b.skips >= 1, b.skips
+    # B completed normally (never terminated by the scheduler)
+    assert b.eos_reason != "max_skips" and b.new_tokens == 16
+    # stall ordering: D started only after B
+    assert started.index(id(b)) < started.index(id(d)), started
 
 
 def test_return_logits(model):

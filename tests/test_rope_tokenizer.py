@@ -56,6 +56,22 @@ def test_dynamic_ntk_scaling():
     assert np.isclose(inv[0], inv0[0])
 
 
+def test_dynamic_ntk_per_position_table():
+    """The baked table applies alpha per position: rows below the
+    original context window exactly match the unscaled table (HF
+    recomputes alpha=1 at short contexts), rows beyond diverge."""
+    cfg0 = _cfg()
+    cfg = _cfg(rope_scaling={"type": "dynamic", "factor": 4.0,
+                             "original_max_position_embeddings": 512})
+    cfg.max_seq_len = 2048
+    s0, c0 = build_sincos(cfg0)
+    s1, c1 = build_sincos(cfg)
+    s0, c0, s1, c1 = map(np.asarray, (s0, c0, s1, c1))
+    assert np.allclose(s1[:512], s0[:512]) and \
+        np.allclose(c1[:512], c0[:512])
+    assert not np.allclose(s1[2000], s0[2000])
+
+
 def test_llama3_scaling():
     rs = {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
           "high_freq_factor": 4.0, "original_max_position_embeddings": 8192}
