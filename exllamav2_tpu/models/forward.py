@@ -25,6 +25,7 @@ from exllamav2_tpu.models.modules import (
     NormWeights, StaticModel)
 from exllamav2_tpu.ops.qmm import linear_apply
 from exllamav2_tpu.ops.rope import apply_rope
+from exllamav2_tpu.quant.qtensor import DenseLinear
 
 __all__ = ["norm_apply", "attn_forward", "mlp_forward", "moe_forward",
            "moe_ep_forward", "model_forward"]
@@ -40,18 +41,35 @@ def _fz(st: StaticModel):
     return None if st.fused_matmul else False
 
 
-def _tp_gather(x, st: StaticModel):
+def _tp_gather(x, st: StaticModel, width: int | None = None):
     """All-gather feature shards across the TP axis (inside shard_map).
 
     The fused TP layout column-shards every linear (a lane split of the
     packed planes is always clean, unlike K-row splits which would have
     to respect the 256-row pack blocks), so activations are re-assembled
     with tiled all-gathers over ICI — the analog of the reference's
-    pinned-host gather/allgather (ext_tp.cpp:210-330)."""
+    pinned-host gather/allgather (ext_tp.cpp:210-330).
+
+    `width` slices the gathered axis to the logical feature count: a
+    lane-padded linear's contiguous column chunks reassemble into the
+    padded array (pad at the global end), so the tail slice recovers the
+    logical width."""
     if st.tp_axis is not None:
-        return jax.lax.all_gather(x, st.tp_axis, axis=x.ndim - 1,
-                                  tiled=True)
+        x = jax.lax.all_gather(x, st.tp_axis, axis=x.ndim - 1, tiled=True)
+    if width is not None and x.shape[-1] != width:
+        x = jax.lax.slice_in_dim(x, 0, width, axis=-1)
     return x
+
+
+def _in_features(lin) -> int | None:
+    """Logical in-features of a linear (for pre-matmul width slicing)."""
+    if lin is None:
+        return None
+    if hasattr(lin, "base"):                 # LoRA wrapper
+        lin = lin.base
+    if isinstance(lin, DenseLinear):
+        return int(lin.weight.shape[0])
+    return int(lin.k)
 
 
 def norm_apply(x: jax.Array, w: NormWeights, st: StaticModel) -> jax.Array:
@@ -94,9 +112,18 @@ def _attn_qkv(x: jax.Array, aw: AttnWeights, st: StaticModel,
     hidden = norm_apply(x, aw.norm, st)
     h2 = hidden.reshape(b * t, d)
 
-    q = linear_apply(h2, aw.q, fused=_fz(st)).reshape(b, t, hq, hd)
-    k = linear_apply(h2, aw.k, fused=_fz(st)).reshape(b, t, hkv, hd)
-    v = linear_apply(h2, aw.v, fused=_fz(st)).reshape(b, t, hkv, hd)
+    if aw.qkv is not None and st.tp_axis is None:
+        # merged decode fast path: ONE weight stream / kernel call for
+        # q|k|v (ops/dequant.merge_serving_weights)
+        nq, nkv = hq * hd, hkv * hd
+        y = linear_apply(h2, aw.qkv, fused=_fz(st))
+        q = y[:, :nq].reshape(b, t, hq, hd)
+        k = y[:, nq:nq + nkv].reshape(b, t, hkv, hd)
+        v = y[:, nq + nkv:].reshape(b, t, hkv, hd)
+    else:
+        q = linear_apply(h2, aw.q, fused=_fz(st)).reshape(b, t, hq, hd)
+        k = linear_apply(h2, aw.k, fused=_fz(st)).reshape(b, t, hkv, hd)
+        v = linear_apply(h2, aw.v, fused=_fz(st)).reshape(b, t, hkv, hd)
 
     if st.use_qk_norm:
         q = _head_norm(q, aw.q_norm, st.norm_eps)
@@ -142,7 +169,7 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
                                float(st.attn_logit_softcap), int(window))
         out = _tp_gather(out.astype(jnp.bfloat16).reshape(b, hq * hd), st)
         out = linear_apply(out, aw.o, fused=_fz(st))
-        out = _tp_gather(out, st).reshape(b, 1, -1)
+        out = _tp_gather(out, st, width=d).reshape(b, 1, -1)
         if aw.norm_post is not None:
             out = norm_apply(out, aw.norm_post, st)
         return out, cache
@@ -153,7 +180,12 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
     s = ck.shape[2]
 
     g = st.q_per_kv
-    qg = q.reshape(b, t, hkv, g, hd)
+    # bf16 on the MXU; CPU's thunk runtime cannot execute some bf16
+    # dot shapes (t=1 matvec) — f32 off-TPU (tests / CPU shards only)
+    from exllamav2_tpu.ops.qmm import _interpret
+    adt = jnp.bfloat16 if not _interpret() else jnp.float32
+    qg = q.reshape(b, t, hkv, g, hd).astype(adt)
+    ck = ck.astype(adt)
     # scores [B, Hkv, G, T, S] in f32
     scores = jnp.einsum("btkgd,bksd->bkgts", qg, ck,
                         preferred_element_type=jnp.float32) * scale
@@ -168,12 +200,12 @@ def attn_forward(x: jax.Array, aw: AttnWeights, st: StaticModel,
         mask &= pos_k[None, :] > pos_q[:, None] - window
     scores = jnp.where(mask[None, None, None], scores, _NEG)
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
-    out = jnp.einsum("bkgts,bksd->btkgd", probs, cv,
+    probs = jax.nn.softmax(scores, axis=-1).astype(adt)
+    out = jnp.einsum("bkgts,bksd->btkgd", probs, cv.astype(adt),
                      preferred_element_type=jnp.float32)
     out = _tp_gather(out.astype(jnp.bfloat16).reshape(b * t, hq * hd), st)
     out = linear_apply(out, aw.o, fused=_fz(st))
-    out = _tp_gather(out, st).reshape(b, t, -1)
+    out = _tp_gather(out, st, width=d).reshape(b, t, -1)
     if aw.norm_post is not None:
         out = norm_apply(out, aw.norm_post, st)
     return out, cache
@@ -197,7 +229,7 @@ def attn_forward_paged(x: jax.Array, aw: AttnWeights, st: StaticModel,
                           allow_kernel=st.fused_matmul)
     out = _tp_gather(out.astype(jnp.bfloat16).reshape(b * t, hq * hd), st)
     out = linear_apply(out, aw.o, fused=_fz(st))
-    out = _tp_gather(out, st).reshape(b, t, -1)
+    out = _tp_gather(out, st, width=d).reshape(b, t, -1)
     if aw.norm_post is not None:
         out = norm_apply(out, aw.norm_post, st)
     return out, cache
@@ -301,15 +333,23 @@ def mlp_forward(x: jax.Array, mw: MLPWeights, st: StaticModel) -> jax.Array:
     """Gated/ungated MLP (q_mlp.cu:78-150 analog)."""
     b, t, d = x.shape
     hidden = norm_apply(x, mw.norm, st).reshape(b * t, d)
-    up = linear_apply(hidden, mw.up, fused=_fz(st))
-    if st.mlp_gated and mw.gate is not None:
-        gate = linear_apply(hidden, mw.gate, fused=_fz(st))
-        inter = _act(gate, st.mlp_act) * up
+    if (mw.gate_up is not None and st.tp_axis is None
+            and st.mlp_gated and mw.gate is not None):
+        # merged decode fast path: gate|up in one weight stream
+        y = linear_apply(hidden, mw.gate_up, fused=_fz(st))
+        half = mw.gate_up.n // 2
+        inter = _act(y[:, :half], st.mlp_act) * y[:, half:]
     else:
-        inter = _act(up, st.mlp_act)
-    inter = _tp_gather(inter.astype(jnp.bfloat16), st)
+        up = linear_apply(hidden, mw.up, fused=_fz(st))
+        if st.mlp_gated and mw.gate is not None:
+            gate = linear_apply(hidden, mw.gate, fused=_fz(st))
+            inter = _act(gate, st.mlp_act) * up
+        else:
+            inter = _act(up, st.mlp_act)
+    inter = _tp_gather(inter.astype(jnp.bfloat16), st,
+                       width=_in_features(mw.down))
     out = linear_apply(inter, mw.down, fused=_fz(st))
-    out = _tp_gather(out, st)
+    out = _tp_gather(out, st, width=d)
     out = out.reshape(b, t, -1)
     if mw.norm_post is not None:
         out = norm_apply(out, mw.norm_post, st)
@@ -349,12 +389,42 @@ def moe_ep_forward(x: jax.Array, mw: EPMoEWeights,
         base = 0
     sparse = bt <= 32 and (jax.default_backend() == "tpu"
                            or _FORCE_SPARSE_MOE[0])
+    # capacity dispatch for sharded prefill (VERDICT r2: the EP path used
+    # to run every local expert over ALL tokens — dense E_local x BT
+    # FLOPs): above the dispatch floor each expert gathers only its
+    # routed tokens (up to capacity C) before the expert MLP
+    dispatch = (not sparse
+                and bt >= max(_MOE_DISPATCH_MIN_TOKENS[0],
+                              2 * st.num_experts)
+                and st.num_experts_per_tok < st.num_experts)
+    cap = 0
+    if dispatch:
+        cap = int(np.ceil(bt * st.num_experts_per_tok
+                          * _MOE_CAPACITY_FACTOR[0] / st.num_experts))
+        cap = min(-(-cap // 8) * 8, bt)
     hb = hidden.astype(jnp.bfloat16)
     out = jnp.zeros((bt, d), jnp.float32)
     for e in range(e_local):
         w1, w2, w3 = (_expert_view(mw.w1, e), _expert_view(mw.w2, e),
                       _expert_view(mw.w3, e))
         mix_e = jnp.take(mix, base + e, axis=1)            # [BT]
+
+        def run_dispatch():
+            # routed-first stable order: argsort(~routed) puts this
+            # expert's tokens at the front; slice to capacity (overflow
+            # routes drop that expert's term, GShard/Switch semantics —
+            # same as _moe_dispatch)
+            routed = mix_e > 0
+            idx = jnp.argsort(~routed)[:cap]               # [C] unique
+            valid = jnp.take(routed, idx)
+            rows = jnp.take(hb, idx, axis=0)               # [C, d]
+            gate = linear_apply(rows, w1, fused=_fz(st))
+            up = linear_apply(rows, w3, fused=_fz(st))
+            inter = (_act(gate, st.mlp_act) * up).astype(jnp.bfloat16)
+            y = linear_apply(inter, w2, fused=_fz(st))     # [C, d]
+            wgt = jnp.take(mix_e, idx) * valid
+            return jnp.zeros((bt, d), jnp.float32).at[idx].add(
+                y * wgt[:, None])
 
         def run(_):
             gate = linear_apply(hb, w1, fused=_fz(st))
@@ -367,6 +437,8 @@ def moe_ep_forward(x: jax.Array, mw: EPMoEWeights,
             y = jax.lax.cond(jnp.any(mix_e > 0), run,
                              lambda _: jnp.zeros((bt, d), jnp.float32),
                              None)
+        elif dispatch:
+            y = run_dispatch()
         else:
             y = run(None)
         out = out + y
@@ -378,14 +450,35 @@ def moe_ep_forward(x: jax.Array, mw: EPMoEWeights,
     return out
 
 
+# one-shot capability probe: the axon tunnel backend reports platform
+# "tpu" but rejects host callbacks (jax.debug.print) at compile time, so
+# platform checks can't gate this — try a tiny jitted print once instead
+_DEBUG_CB = [None]
+
+
+def _debug_callbacks_supported() -> bool:
+    if _DEBUG_CB[0] is None:
+        def probe(x):
+            jax.debug.callback(lambda: None)
+            return x + 1
+        try:
+            np.asarray(jax.jit(probe)(jnp.zeros(())))   # readback = sync
+            _DEBUG_CB[0] = True
+        except Exception:
+            _DEBUG_CB[0] = False
+    return _DEBUG_CB[0]
+
+
 # capacity factor for the prefill dispatch path (tokens per expert
 # buffer = BT * topk * CF / E; routes past capacity drop that expert's
 # term, GShard/Switch-style). 2.0 keeps drops negligible for balanced
 # routers while still cutting FLOPs ~E/(topk*CF) vs dense mixing.
 _MOE_CAPACITY_FACTOR = [2.0]
-# dispatch kicks in above this many tokens (below it the dense mix is
-# cheap and exact)
-_MOE_DISPATCH_MIN_TOKENS = [256]
+# dispatch kicks in above max(this, 2*E) tokens: below ~2 tokens/expert
+# the per-expert buffers are mostly padding and the dense mix is cheap
+# and exact; above it dispatch wins. Keeping the floor at 64 closes the
+# former 33-255-token mid-band where chunked prefill paid dense E× FLOPs.
+_MOE_DISPATCH_MIN_TOKENS = [64]
 
 
 def _moe_dispatch(hb, mix, mw, st):
@@ -403,7 +496,20 @@ def _moe_dispatch(hb, mix, mw, st):
     cap = min(-(-cap // 8) * 8, bt)
     onehot = mix > 0                                          # [BT, E]
     pos = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1    # [BT, E]
-    # overflow routes park in a throwaway column (sliced off below)
+    # overflow routes park in a throwaway column (sliced off below);
+    # surface the drop count (no silent caps) — an unbalanced router
+    # overflowing capacity changes prefill logits vs the exact dense mix.
+    # (the axon tunnel backend has no host-callback support, so the
+    # warning is only emitted where debug callbacks exist)
+    if _debug_callbacks_supported():
+        dropped = jnp.sum(onehot & (pos >= cap))
+        jax.lax.cond(
+            dropped > 0,
+            lambda d: jax.debug.print(
+                "moe dispatch: {} routed tokens dropped past expert "
+                "capacity (unbalanced router; raise _MOE_CAPACITY_FACTOR)",
+                d),
+            lambda d: None, dropped)
     pos_c = jnp.where(onehot & (pos < cap), pos, cap)
     t_idx = jnp.broadcast_to(jnp.arange(bt, dtype=jnp.int32)[:, None],
                              (bt, e_num))
@@ -461,7 +567,8 @@ def moe_forward(x: jax.Array, mw: MoEWeights, st: StaticModel) -> jax.Array:
                            or _FORCE_SPARSE_MOE[0])
     hb = hidden.astype(jnp.bfloat16)
 
-    if (not sparse and bt >= _MOE_DISPATCH_MIN_TOKENS[0]
+    if (not sparse
+            and bt >= max(_MOE_DISPATCH_MIN_TOKENS[0], 2 * st.num_experts)
             and st.num_experts_per_tok < st.num_experts):
         out = _moe_dispatch(hb, mix, mw, st)
         out = out.reshape(b, t, -1)

@@ -31,14 +31,17 @@ class NormWeights:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["norm", "q", "k", "v", "o", "q_norm", "k_norm",
-                      "norm_post"],
+                      "norm_post", "qkv"],
          meta_fields=[])
 @dataclasses.dataclass
 class AttnWeights:
     """One attention block (attn.py analog). q/k/v/o are QuantLinear or
     DenseLinear; q_norm/k_norm are per-head-dim norms (Qwen3/Gemma3);
     norm_post is the Gemma2/GLM4 post-attention norm applied to the block
-    output before the residual add."""
+    output before the residual add. qkv, when set, is a column-merged
+    single linear streamed by ONE fused kernel call in decode
+    (ops/dequant.merge_serving_linears); q/k/v stay for prefill and as
+    the exact reference."""
     norm: NormWeights
     q: Any
     k: Any
@@ -47,20 +50,24 @@ class AttnWeights:
     q_norm: NormWeights | None = None
     k_norm: NormWeights | None = None
     norm_post: NormWeights | None = None
+    qkv: Any | None = None
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["norm", "gate", "up", "down", "norm_post"],
+         data_fields=["norm", "gate", "up", "down", "norm_post",
+                      "gate_up"],
          meta_fields=[])
 @dataclasses.dataclass
 class MLPWeights:
     """Gated or ungated MLP (mlp.py analog); gate is None when ungated;
-    norm_post is the Gemma2/GLM4 post-feedforward norm."""
+    norm_post is the Gemma2/GLM4 post-feedforward norm. gate_up, when
+    set, is the column-merged decode fast path (see AttnWeights.qkv)."""
     norm: NormWeights
     gate: Any | None
     up: Any
     down: Any
     norm_post: NormWeights | None = None
+    gate_up: Any | None = None
 
 
 @partial(jax.tree_util.register_dataclass,

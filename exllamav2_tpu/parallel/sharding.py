@@ -82,6 +82,8 @@ def _shard_linear(lin, mesh, kind: str):
         if hasattr(seg, "qscale"):
             repl["qscale"] = _put(seg.qscale, mesh, spec_n)
             repl["smax"] = _put(seg.smax, mesh, P())
+            if getattr(seg, "scale_f", None) is not None:
+                repl["scale_f"] = _put(seg.scale_f, mesh, spec_n)
         else:
             repl["scale"] = _put(seg.scale, mesh, spec_n)
             repl["zero"] = _put(seg.zero, mesh, spec_n)
@@ -173,21 +175,33 @@ def shard_paged_cache(cache, mesh: Mesh):
 # (reference analog: fully-fused TP attention, ext_qattn.cpp:261-439)
 # ---------------------------------------------------------------------------
 
-def _tp_fusable_linear(lin) -> bool:
-    """The fused TP path needs clean per-shard blocks: no act-order perm
-    (a row permutation mixes shards' K-blocks) and a single uniform
-    segment; anything else uses the GSPMD unfused path."""
+def _tp_fusable_linear(lin, tp: int, exact_width: bool) -> bool:
+    """Every linear is COLUMN-sharded in the fused TP mode, so only the
+    out-features need to split evenly. Act-order perms are fine: K stays
+    whole per shard, so the activation gather x[:, perm] is replicated
+    work, identical on every shard. Multi-segment (mixed-bitrate)
+    layouts are fine too: every segment's planes/scales carry N as the
+    last axis and split cleanly. `exact_width` is required for layers
+    whose output reshapes straight to heads (q/k/v) — a lane-padded N
+    would interleave pad columns into the head split; layers whose
+    output is reassembled by an all-gather (o, gate/up, down, head)
+    tolerate padding (the gather rebuilds the padded array in order and
+    the caller slices the tail off)."""
     if isinstance(lin, DenseLinear) or lin is None:
         return True
-    return lin.perm is None and len(lin.segments) == 1
+    if lin.n % tp:
+        return False
+    if exact_width and lin.n != lin.n_orig:
+        return False
+    return True
 
 
 def tp_fusable(w: ModelWeights, st: StaticModel, tp: int) -> bool:
-    """Every linear is COLUMN-sharded in the fused TP mode (a lane split
-    of the packed planes is always clean; K-row splits would have to
-    respect the 256-row pack blocks, which real 11008-wide MLPs cannot).
-    Feasibility therefore only needs head counts and out-features to
-    split evenly, single-segment layouts, and no act-order perms."""
+    """Fused-TP feasibility: head counts and out-features split evenly.
+    All linears COLUMN-shard (a lane split of the packed planes is always
+    clean; K-row splits would have to respect the 256-row pack blocks,
+    which real 11008-wide MLPs cannot) — so act-order and mixed-bitrate
+    checkpoints, i.e. everything the converter emits, are fusable."""
     if tp <= 1:
         return False
     if st.num_kv_heads % tp or st.num_heads % tp:
@@ -195,7 +209,8 @@ def tp_fusable(w: ModelWeights, st: StaticModel, tp: int) -> bool:
     if st.parallel_blocks:
         return False                     # shared-norm blocks: keep GSPMD
     for lw in w.layers:
-        lins = [lw.attn.q, lw.attn.k, lw.attn.v, lw.attn.o]
+        lins = [(lw.attn.q, True), (lw.attn.k, True), (lw.attn.v, True),
+                (lw.attn.o, False)]
         if isinstance(lw.mlp, MoEWeights):
             # MoE layers go expert-parallel on the same axis: whole
             # experts are distributed, so only uniformity + divisibility
@@ -205,19 +220,12 @@ def tp_fusable(w: ModelWeights, st: StaticModel, tp: int) -> bool:
             if not _ep_stackable(lw.mlp, tp):
                 return False
         else:
-            lins += [lw.mlp.gate, lw.mlp.up, lw.mlp.down]
-        for lin in lins:
-            if not _tp_fusable_linear(lin):
+            lins += [(lw.mlp.gate, False), (lw.mlp.up, False),
+                     (lw.mlp.down, False)]
+        for lin, exact in lins:
+            if not _tp_fusable_linear(lin, tp, exact):
                 return False
-            if isinstance(lin, QuantLinear) and (
-                    lin.n % tp or lin.n != lin.n_orig):
-                # lane-padded widths would interleave pad columns into
-                # the gathered activations; only the head may be padded
-                # (its pad sits at the global end and is sliced after
-                # the logits gather)
-                return False
-    if isinstance(w.head, QuantLinear) and (
-            not _tp_fusable_linear(w.head) or w.head.n % tp):
+    if not _tp_fusable_linear(w.head, tp, False):
         return False
     return True
 
@@ -225,7 +233,8 @@ def tp_fusable(w: ModelWeights, st: StaticModel, tp: int) -> bool:
 def _ep_stackable(mw: MoEWeights, tp: int) -> bool:
     """Whole-expert distribution needs E % tp == 0 and structurally
     identical experts (stacking is leaf-wise, meta lives in the
-    treedef)."""
+    treedef). Experts are never column-split, so act-order perms,
+    multi-segment layouts and lane padding all stack fine."""
     import jax as _jax
     if len(mw.w1) % tp:
         return False
@@ -236,11 +245,6 @@ def _ep_stackable(mw: MoEWeights, tp: int) -> bool:
                   for e in grp]
         if len(set(shapes)) != 1:
             return False
-        for e in grp:
-            if not _tp_fusable_linear(e):
-                return False
-            if isinstance(e, QuantLinear) and e.n != e.n_orig:
-                return False
     return True
 
 
@@ -277,36 +281,44 @@ def _tpf_linear(lin, mesh, kind: str, tp: int):
                             bias=P() if lin.bias is not None else None))
     assert isinstance(lin, QuantLinear)
     assert kind == "col", kind
-    seg = lin.segments[0]
-    if kind == "col":
-        arr_spec = P(None, "tp")
-        seg2 = dataclasses.replace(
-            seg,
-            planes=tuple(_put(p, mesh, arr_spec) for p in seg.planes))
+    arr_spec = P(None, "tp")
+    segs_w, segs_s = [], []
+    for seg in lin.segments:
+        repl_w = {"planes": tuple(_put(p, mesh, arr_spec)
+                                  for p in seg.planes)}
+        repl_s = {"planes": tuple(arr_spec for _ in seg.planes)}
         if hasattr(seg, "qscale"):
-            seg2 = dataclasses.replace(
-                seg2, qscale=_put(seg.qscale, mesh, arr_spec),
-                smax=_put(seg.smax, mesh, P()))
-            sseg = dataclasses.replace(
-                seg, planes=tuple(arr_spec for _ in seg.planes),
-                qscale=arr_spec, smax=P())
+            repl_w.update(qscale=_put(seg.qscale, mesh, arr_spec),
+                          smax=_put(seg.smax, mesh, P()))
+            repl_s.update(qscale=arr_spec, smax=P())
+            if getattr(seg, "scale_f", None) is not None:
+                repl_w.update(scale_f=_put(seg.scale_f, mesh, arr_spec))
+                repl_s.update(scale_f=arr_spec)
         else:
-            seg2 = dataclasses.replace(
-                seg2, scale=_put(seg.scale, mesh, arr_spec),
-                zero=_put(seg.zero, mesh, arr_spec))
-            sseg = dataclasses.replace(
-                seg, planes=tuple(arr_spec for _ in seg.planes),
-                scale=arr_spec, zero=arr_spec)
-        nl = lin.n // tp
-        bias = _put(lin.bias, mesh, P("tp")) if lin.bias is not None \
-            else None
-        out = QuantLinear(segments=(seg2,), perm=None, bias=bias,
-                          k=lin.k, n=nl, n_orig=nl)
-        spec = QuantLinear(segments=(sseg,), perm=None,
-                           bias=P("tp") if lin.bias is not None else None,
-                           k=lin.k, n=nl, n_orig=nl)
-        return out, spec
-    raise AssertionError(kind)
+            repl_w.update(scale=_put(seg.scale, mesh, arr_spec),
+                          zero=_put(seg.zero, mesh, arr_spec))
+            repl_s.update(scale=arr_spec, zero=arr_spec)
+        segs_w.append(dataclasses.replace(seg, **repl_w))
+        segs_s.append(dataclasses.replace(seg, **repl_s))
+    nl = lin.n // tp
+    bias_w = bias_s = None
+    if lin.bias is not None:
+        # the bias must shard in the same (lane-padded) coordinate
+        # system as the plane chunks — pad it to n before placing
+        bias_full = lin.bias
+        if lin.n != lin.n_orig:
+            bias_full = jnp.pad(bias_full, (0, lin.n - lin.n_orig))
+        bias_w = _put(bias_full, mesh, P("tp"))
+        bias_s = P("tp")
+    # act-order: K stays whole per shard, so the activation gather
+    # x[:, perm] is shard-invariant — the perm replicates
+    perm_w = _put(lin.perm, mesh, P()) if lin.perm is not None else None
+    perm_s = P() if lin.perm is not None else None
+    out = QuantLinear(segments=tuple(segs_w), perm=perm_w, bias=bias_w,
+                      k=lin.k, n=nl, n_orig=nl)
+    spec = QuantLinear(segments=tuple(segs_s), perm=perm_s, bias=bias_s,
+                       k=lin.k, n=nl, n_orig=nl)
+    return out, spec
 
 
 def _tpf_norm(nw, mesh):
@@ -402,14 +414,17 @@ def local_static(st: StaticModel, tp: int) -> StaticModel:
         tp_axis="tp", fused_matmul=True)
 
 
-def make_tp_paged_forward(mesh: Mesh, st_local: StaticModel,
-                          w_specs, cache_specs):
-    """shard_map-wrapped model_forward_paged: every shard runs the fused
-    Pallas kernels on its local weight/KV blocks; psum / all_gather inside
-    the forward (models/forward.py _tp_sum) stitch the results — the TPU
-    analog of the reference's fully-fused TP attention
-    (ext_qattn.cpp:261-439) with ICI collectives instead of pinned-host
-    staging."""
+def make_tp_paged_forward_factory(mesh: Mesh, st_local: StaticModel,
+                                  w_specs, cache_specs):
+    """-> get(last_token_only, with_embeds=False, with_rope=False):
+    cached shard_map-wrapped model_forward_paged variants. Every shard
+    runs the fused Pallas kernels on its local weight/KV blocks; psum /
+    all_gather inside the forward (models/forward.py _tp_gather) stitch
+    the results — the TPU analog of the reference's fully-fused TP
+    attention (ext_qattn.cpp:261-439) with ICI collectives instead of
+    pinned-host staging. Multimodal prefill operands (input_embeds [B,T,d]
+    rows, MRoPE sin/cos rows) ride along replicated — each shard embeds
+    the same rows and projects them through its local weight blocks."""
     try:
         from jax import shard_map
     except ImportError:                      # older jax
@@ -417,25 +432,24 @@ def make_tp_paged_forward(mesh: Mesh, st_local: StaticModel,
     from exllamav2_tpu.models.forward import model_forward_paged
 
     interp = mesh.devices.flat[0].platform != "tpu"
+    cache = {}
 
-    def fwd(w, ids, cache, block_table, cache_seqlens, pos_off,
-            last_token_only):
+    def fwd(w, ids, c, block_table, cache_seqlens, pos_off,
+            last_token_only, input_embeds=None, rope_rows=None):
         from exllamav2_tpu.ops import qmm as _q
         prev = _q._INTERPRET_OVERRIDE[0]
         _q._INTERPRET_OVERRIDE[0] = interp
         try:
-            logits, cache = model_forward_paged(
-                w, st_local, ids, cache, block_table, cache_seqlens,
-                last_token_only=last_token_only, pos_offsets=pos_off)
+            logits, c = model_forward_paged(
+                w, st_local, ids, c, block_table, cache_seqlens,
+                last_token_only=last_token_only, pos_offsets=pos_off,
+                input_embeds=input_embeds, rope_rows=rope_rows)
         finally:
             _q._INTERPRET_OVERRIDE[0] = prev
-        return logits, cache
+        return logits, c
 
-    def make(last_token_only: bool):
-        body = lambda w, i, c, bt, sl, po: fwd(w, i, c, bt, sl, po,
-                                               last_token_only)
-        kw = dict(mesh=mesh,
-                  in_specs=(w_specs, P(), cache_specs, P(), P(), P()),
+    def _shard_map(body, in_specs):
+        kw = dict(mesh=mesh, in_specs=in_specs,
                   out_specs=(P(), cache_specs))
         # replication checking kw was renamed across jax versions
         for flag in ({"check_vma": False}, {"check_rep": False}, {}):
@@ -445,7 +459,39 @@ def make_tp_paged_forward(mesh: Mesh, st_local: StaticModel,
                 continue
         raise RuntimeError("shard_map signature mismatch")
 
-    return make(True), make(False)
+    def get(last_token_only: bool, with_embeds: bool = False,
+            with_rope: bool = False):
+        key = (last_token_only, with_embeds, with_rope)
+        if key in cache:
+            return cache[key]
+        base = (w_specs, P(), cache_specs, P(), P(), P())
+        if with_embeds and with_rope:
+            body = lambda w, i, c, bt, sl, po, em, sr, cr: fwd(
+                w, i, c, bt, sl, po, last_token_only,
+                input_embeds=em, rope_rows=(sr, cr))
+            fn = _shard_map(body, base + (P(), P(), P()))
+        elif with_embeds:
+            body = lambda w, i, c, bt, sl, po, em: fwd(
+                w, i, c, bt, sl, po, last_token_only, input_embeds=em)
+            fn = _shard_map(body, base + (P(),))
+        else:
+            assert not with_rope
+            body = lambda w, i, c, bt, sl, po: fwd(
+                w, i, c, bt, sl, po, last_token_only)
+            fn = _shard_map(body, base)
+        cache[key] = fn
+        return fn
+
+    return get
+
+
+def make_tp_paged_forward(mesh: Mesh, st_local: StaticModel,
+                          w_specs, cache_specs):
+    """-> (fwd_last, fwd_full): the text-only fused TP forwards (see
+    make_tp_paged_forward_factory for the MM-capable factory)."""
+    get = make_tp_paged_forward_factory(mesh, st_local, w_specs,
+                                        cache_specs)
+    return get(True), get(False)
 
 
 def make_multihost_mesh(dp: int = 1, tp: int | None = None) -> Mesh:

@@ -268,3 +268,68 @@ def test_qwen2vl_video_embeddings(qwen2vl_setup):
     out = gen.generate("clip <vid> shows", max_new_tokens=6,
                        settings=Settings.greedy(), embeddings=[mme])
     assert isinstance(out, str)
+
+
+def test_pixtral_fused_tp_serving(pixtral_setup):
+    """MM prefill rides the fused shard_map TP path (embeds as a
+    replicated operand, VERDICT r2 item #5): mesh output matches the
+    single-device generate exactly."""
+    import jax
+    from exllamav2_tpu.parallel.sharding import make_mesh
+
+    cpu = jax.devices("cpu")
+    if len(cpu) < 2:
+        pytest.skip("needs 2 virtual cpu devices")
+    model, tower = pixtral_setup
+    tok = ByteTokenizer(384)
+    img = (np.random.default_rng(3).random((16, 16, 3)) * 255).astype(
+        np.uint8)
+    mme = tower.get_image_embeddings(model, tok, img, text_alias="<img>")
+    from exllamav2_tpu.generator.sampler import Settings
+
+    def cache():
+        return PagedKVCache.alloc(
+            model.static.num_layers, 32, model.static.num_kv_heads,
+            model.static.head_dim, "bf16")
+
+    plain = DynamicGenerator(model, cache(), tok).generate(
+        "look <img> here", max_new_tokens=6, settings=Settings.greedy(),
+        embeddings=[mme])
+    mesh = make_mesh(2, dp=1, devices=cpu[:2])
+    gen = DynamicGenerator(model, cache(), tok, mesh=mesh)
+    assert gen._tp_fused       # MM archs are no longer excluded
+    sharded = gen.generate("look <img> here", max_new_tokens=6,
+                           settings=Settings.greedy(), embeddings=[mme])
+    assert sharded == plain, (sharded, plain)
+
+
+def test_qwen2vl_fused_tp_serving_mrope(qwen2vl_setup):
+    """MRoPE prefill rows + decode offsets through the fused TP program
+    (the with_rope operand variant)."""
+    import jax
+    from exllamav2_tpu.parallel.sharding import make_mesh
+
+    cpu = jax.devices("cpu")
+    if len(cpu) < 2:
+        pytest.skip("needs 2 virtual cpu devices")
+    model, tower = qwen2vl_setup
+    tok = ByteTokenizer(384)
+    img = (np.random.default_rng(4).random((16, 16, 3)) * 255).astype(
+        np.uint8)
+    mme = tower.get_image_embeddings(model, tok, img, text_alias="<img>")
+    from exllamav2_tpu.generator.sampler import Settings
+
+    def cache():
+        return PagedKVCache.alloc(
+            model.static.num_layers, 32, model.static.num_kv_heads,
+            model.static.head_dim, "bf16")
+
+    plain = DynamicGenerator(model, cache(), tok).generate(
+        "scene <img> is", max_new_tokens=6, settings=Settings.greedy(),
+        embeddings=[mme])
+    mesh = make_mesh(2, dp=1, devices=cpu[:2])
+    gen = DynamicGenerator(model, cache(), tok, mesh=mesh)
+    assert gen._tp_fused
+    sharded = gen.generate("scene <img> is", max_new_tokens=6,
+                           settings=Settings.greedy(), embeddings=[mme])
+    assert sharded == plain, (sharded, plain)
