@@ -10,10 +10,13 @@ The decode loop dispatches one jitted step per token and timing is
 synchronized by a host readback of the final token —
 `block_until_ready` returns early through the axon TPU tunnel.
 
-Prints ONE JSON line. The headline metric is the single-sequence decode
-rate; `extra` carries the BASELINE.json north-star companions measured in
-the same process: prefill TTFT (512-token prompt) and batched decode
-throughput (batch 8), both on the same 7B-geometry model.
+Emission is INCREMENTAL so the driver's budget always captures whatever
+was measured: the headline-only JSON line prints the moment the decode
+rate is known, and the line is re-emitted with a growing `extra` dict
+after each companion metric (TTFT-512 / prefill rate, batch-8 decode,
+DynamicGenerator serving aggregate + p50 TTFT) completes. The LAST line
+printed is always the most complete result; every line is valid on its
+own. Companions are the BASELINE.json north-star metrics.
 """
 
 import json
@@ -25,6 +28,21 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_TPS = 211.0   # Llama2-7B EXL2 4.0bpw on RTX 4090
+
+_TPS = [0.0]
+_EXTRA = {}
+
+
+def _emit():
+    out = {
+        "metric": "decode_tokens_per_s_7b_exl2_4bpw",
+        "value": round(_TPS[0], 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(_TPS[0] / BASELINE_TPS, 4),
+    }
+    if _EXTRA:
+        out["extra"] = dict(_EXTRA)
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -42,9 +60,17 @@ def main():
     prefill = 512
     skip_extra = os.environ.get("BENCH_NO_EXTRA") == "1"
 
+    def left():
+        return budget - (time.perf_counter() - t_start)
+
     w, st = random_model_weights(
         vocab=32000, hidden=4096, layers=32, heads=32, kv_heads=32,
         inter=11008, max_seq=max_seq, bits=4, seed=0)
+    if os.environ.get("BENCH_MERGED") == "1":
+        # opt-in decode experiment: merged qkv / gate+up streams
+        # (7 -> 4 kernel calls per layer; ops/dequant.merge_serving_weights)
+        from exllamav2_tpu.ops.dequant import merge_serving_weights
+        w = merge_serving_weights(w)
 
     @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
     def decode(w, tok, cache, past_len, attn_limit):
@@ -80,14 +106,15 @@ def main():
         p = prefill + 3 + i
         tok, cache = decode(w, tok, cache, jnp.int32(p), limit(p + 1))
     np.asarray(tok)                      # readback = true sync
-    dt = time.perf_counter() - t0
-    tps = steps / dt
+    _TPS[0] = steps / (time.perf_counter() - t0)
+    _emit()                              # headline is on the record NOW
+    del cache
 
-    extra = {}
-    # extras are best-effort: never risk the headline metric on a driver
-    # timeout (each adds compiles that are slow through the tunnel)
-    if not skip_extra and time.perf_counter() - t_start < budget:
-        # ---- prefill TTFT: 512-token prompt -> first sampled token ----
+    if skip_extra:
+        return
+
+    # ---- prefill TTFT: 512-token prompt -> first sampled token ----
+    if left() > 30:
         ids = jnp.ones((1, prefill), jnp.int32)
         cache_p = KVCache.alloc(st.num_layers, 1, max_seq, st.num_kv_heads,
                                 st.head_dim)
@@ -101,13 +128,13 @@ def main():
             t, cache_p = prefill_step(w, ids, cache_p, limit(prefill))
             np.asarray(t)
             times.append(time.perf_counter() - t0)
-        extra["ttft_512_ms"] = round(sorted(times)[1] * 1000, 1)
-        extra["prefill_tokens_per_s"] = round(
-            prefill / sorted(times)[1], 1)
+        _EXTRA["ttft_512_ms"] = round(sorted(times)[1] * 1000, 1)
+        _EXTRA["prefill_tokens_per_s"] = round(prefill / sorted(times)[1], 1)
+        _emit()
+        del cache_p
 
-        # ---- batched decode throughput (batch 8, same weights) ----
-        if time.perf_counter() - t_start > budget:
-            raise SystemExit(_emit(tps, extra))
+    # ---- batched decode throughput (batch 8, same weights) ----
+    if left() > 30:
         cache_b = KVCache.alloc(st.num_layers, bsz, 1024, st.num_kv_heads,
                                 st.head_dim)
         tok = jnp.ones((bsz, 1), jnp.int32)
@@ -122,23 +149,62 @@ def main():
                                   limit(p + 1))
         np.asarray(tok)
         bdt = time.perf_counter() - t0
-        extra["batched_tokens_per_s"] = round(bsz * batch_steps / bdt, 1)
-        extra["batch_size"] = bsz
+        _EXTRA["batched_tokens_per_s"] = round(bsz * batch_steps / bdt, 1)
+        _EXTRA["batch_size"] = bsz
+        _emit()
+        del cache_b
 
-    _emit(tps, extra)
+    # ---- serving aggregate: DynamicGenerator continuous batching ----
+    # (bench_serving-path companion: aggregate gen t/s + p50 TTFT across
+    # concurrent jobs through the full scheduler/sampler stack)
+    if left() > 60:
+        try:
+            _bench_serving(w, st)
+            _emit()
+        except Exception as e:                      # never lose the record
+            _EXTRA["serving_error"] = type(e).__name__
+            _emit()
 
 
-def _emit(tps, extra):
-    out = {
-        "metric": "decode_tokens_per_s_7b_exl2_4bpw",
-        "value": round(tps, 2),
-        "unit": "tokens/s",
-        "vs_baseline": round(tps / BASELINE_TPS, 4),
-    }
-    if extra:
-        out["extra"] = extra
-    print(json.dumps(out), flush=True)
-    return 0
+def _bench_serving(w, st, n_jobs=8, prompt_len=128, gen_len=32):
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator, DynamicJob
+    from exllamav2_tpu.generator.sampler import Settings
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+
+    model = Model(w, st)
+    cache = PagedKVCache.alloc(st.num_layers, 48, st.num_kv_heads,
+                               st.head_dim, "bf16", page_size=256)
+    gen = DynamicGenerator(model, cache, ByteTokenizer(st.vocab_size),
+                           max_batch_size=n_jobs, max_chunk_size=512)
+    rng = np.random.default_rng(0)
+
+    def run_round():
+        t0 = time.perf_counter()
+        jobs = []
+        for i in range(n_jobs):
+            ids = rng.integers(3, 250, prompt_len).astype(np.int32)
+            jobs.append(gen.enqueue(DynamicJob(
+                ids, max_new_tokens=gen_len, settings=Settings.greedy())))
+        new_tokens = 0
+        while any(j.status != "done" for j in jobs):
+            for r in gen.iterate():
+                if r.get("stage") == "streaming":
+                    new_tokens += len(r.get("token_ids", ()))
+        return jobs, new_tokens, time.perf_counter() - t0
+
+    run_round()                          # warm the bucketed compiles
+    jobs, new_tokens, dt = run_round()   # measured round (no compiles)
+    ttfts = []
+    for j in jobs:
+        if j.time_first_token and j.time_enqueue:
+            ttfts.append(j.time_first_token - j.time_enqueue)
+    _EXTRA["serving_tokens_per_s"] = round(new_tokens / dt, 1)
+    _EXTRA["serving_jobs"] = n_jobs
+    if ttfts:
+        _EXTRA["serving_p50_ttft_ms"] = round(
+            sorted(ttfts)[len(ttfts) // 2] * 1000, 1)
 
 
 if __name__ == "__main__":

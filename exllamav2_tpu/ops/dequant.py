@@ -99,11 +99,61 @@ def dequant_segment(seg, dtype=jnp.bfloat16, rows: int | None = None) -> jax.Arr
         zrows = broadcast_groups(seg.zero, seg.group_rows)[:seg.rows_pad]
         w = ((vals - zrows).astype(jnp.float32) * srows).astype(dtype)
     else:
-        scales = exl2_scales(seg.qscale, seg.smax)
+        if getattr(seg, "scale_f", None) is not None:
+            scales = seg.scale_f.astype(jnp.float32)
+        elif getattr(seg, "src_cols", ()):
+            # column-merged segment: expand per-source smax columns to
+            # full width before the exact decode (merge_linears)
+            n = seg.qscale.shape[1]
+            bounds = list(seg.src_cols) + [n]
+            gt = seg.qscale.shape[0]
+            smax_full = jnp.concatenate([
+                jnp.broadcast_to(seg.smax[:, i:i + 1],
+                                 (gt, bounds[i + 1] - bounds[i]))
+                for i in range(len(seg.src_cols))], axis=1)
+            scales = exl2_scales(seg.qscale, smax_full)
+        else:
+            scales = exl2_scales(seg.qscale, seg.smax)
         srows = broadcast_groups(scales, seg.group_rows)[:seg.rows_pad]
         zero = float(2 ** (seg.bits - 1))
         w = ((vals.astype(jnp.float32) - zero) * srows).astype(dtype)
     return w[:seg.rows if rows is None else rows]
+
+
+def precompute_scales_linear(lin):
+    """Decode a QuantLinear's EXL2 sqrt-encoded group scales once at load
+    into bf16 rows carried alongside the segment (QuantSegment.scale_f).
+
+    The fused kernel then streams the decoded scales instead of running
+    the in-kernel decode: ~+6% weight-stream bytes for ~0.25 fewer VPU
+    ops/value (docs/DESIGN.md round-3 decode push). Bitwise-exact: the
+    decode is the same fp16-rounded product either way."""
+    import dataclasses
+    from exllamav2_tpu.quant.qtensor import QuantLinear
+    if not isinstance(lin, QuantLinear):
+        return lin
+    segs = []
+    for seg in lin.segments:
+        if isinstance(seg, GptqSegment) or \
+                getattr(seg, "scale_f", None) is not None:
+            segs.append(seg)
+            continue
+        sf = exl2_scales(seg.qscale, seg.smax).astype(jnp.bfloat16)
+        segs.append(dataclasses.replace(seg, scale_f=sf))
+    return dataclasses.replace(lin, segments=tuple(segs))
+
+
+def precompute_model_scales(tree):
+    """Apply precompute_scales_linear to every QuantLinear in a pytree."""
+    import jax as _jax
+    from exllamav2_tpu.quant.qtensor import QuantLinear
+
+    def f(x):
+        return precompute_scales_linear(x) \
+            if isinstance(x, QuantLinear) else x
+
+    return _jax.tree_util.tree_map(
+        f, tree, is_leaf=lambda x: isinstance(x, QuantLinear))
 
 
 def dequant_linear(ql, dtype=jnp.bfloat16, original_order: bool = True) -> jax.Array:
@@ -113,3 +163,102 @@ def dequant_linear(ql, dtype=jnp.bfloat16, original_order: bool = True) -> jax.A
         # stored row j corresponds to original row perm[j]
         w = jnp.zeros_like(w).at[ql.perm].set(w)
     return w
+
+
+def merge_linears(lins):
+    """Column-concat compatible QuantLinears into one wider linear.
+
+    The decode hot path is HBM-bound AND pays per-kernel-call overhead;
+    merging q|k|v (and gate|up) halves the pallas call count per layer
+    (7 -> 4) with one wider weight stream (docs/DESIGN.md round-3 decode
+    push; reference analog: fused QKV in ext_qattn.cpp).
+
+    Requirements: same K, identical (or absent) act-order perm, equal
+    segment structure, exact widths (no lane padding). Both formats
+    merge BITWISE-EXACTLY: GPTQ concats its explicit per-group scales;
+    EXL2 keeps each source's smax as a column of one [gt, n_sources]
+    array and the kernel selects the right column per n-tile
+    (QuantSegment.src_cols). Returns None when not mergeable."""
+    import dataclasses
+    import numpy as np
+    from exllamav2_tpu.quant.qtensor import QuantLinear
+
+    if any(not isinstance(l, QuantLinear) for l in lins):
+        return None
+    k0 = lins[0].k
+    if any(l.k != k0 or l.n != l.n_orig for l in lins):
+        return None
+    have_perm = [l.perm is not None for l in lins]
+    if any(have_perm) and not all(have_perm):
+        return None
+    if all(have_perm):
+        p0 = np.asarray(lins[0].perm)
+        if any(not np.array_equal(p0, np.asarray(l.perm))
+               for l in lins[1:]):
+            return None
+    nseg = len(lins[0].segments)
+    if any(len(l.segments) != nseg for l in lins):
+        return None
+
+    def skey(s):
+        return (type(s).__name__, s.rows, s.bits, tuple(s.plane_bits),
+                s.group_rows, s.planes[0].shape[0])
+
+    segs = []
+    for i in range(nseg):
+        ss = [l.segments[i] for l in lins]
+        s0 = ss[0]
+        if any(skey(s) != skey(s0) for s in ss):
+            return None
+        planes = tuple(
+            jnp.concatenate([s.planes[j] for s in ss], axis=1)
+            for j in range(len(s0.planes)))
+        if isinstance(s0, GptqSegment):
+            segs.append(dataclasses.replace(
+                s0, planes=planes,
+                scale=jnp.concatenate([s.scale for s in ss], axis=1),
+                zero=jnp.concatenate([s.zero for s in ss], axis=1)))
+        else:
+            # EXACT exl2 merge: per-source smax kept as columns of one
+            # [gt, n_sources] array; the kernel selects the source's
+            # column per n-tile (src_cols boundaries), so the decoded
+            # scales are bit-identical to the unmerged matrices
+            src_cols = tuple(int(np.cumsum([0] + [l.n for l in lins])[j])
+                             for j in range(len(lins)))
+            segs.append(dataclasses.replace(
+                s0, planes=planes,
+                qscale=jnp.concatenate([s.qscale for s in ss], axis=1),
+                smax=jnp.concatenate([s.smax for s in ss], axis=1),
+                scale_f=None, src_cols=src_cols))
+    n = sum(l.n for l in lins)
+    bias = None
+    if any(l.bias is not None for l in lins):
+        bias = jnp.concatenate([
+            l.bias if l.bias is not None else jnp.zeros(l.n, jnp.float32)
+            for l in lins])
+    return QuantLinear(segments=tuple(segs), perm=lins[0].perm,
+                       bias=bias, k=k0, n=n, n_orig=n)
+
+
+def merge_serving_weights(w):
+    """Attach merged qkv / gate_up decode fast-path linears to every
+    layer where the structure allows (bitwise-exact; see merge_linears).
+    Single-chip serving only: the fused-TP shard path rebuilds from the
+    unmerged linears (a column shard of a merged array would interleave
+    q|k|v boundaries)."""
+    import dataclasses
+    from exllamav2_tpu.models.modules import MLPWeights
+
+    layers = []
+    for lw in w.layers:
+        aw = lw.attn
+        qkv = merge_linears([aw.q, aw.k, aw.v])
+        if qkv is not None:
+            aw = dataclasses.replace(aw, qkv=qkv)
+        mlp = lw.mlp
+        if isinstance(mlp, MLPWeights) and mlp.gate is not None:
+            gu = merge_linears([mlp.gate, mlp.up])
+            if gu is not None:
+                mlp = dataclasses.replace(mlp, gate_up=gu)
+        layers.append(dataclasses.replace(lw, attn=aw, mlp=mlp))
+    return dataclasses.replace(w, layers=tuple(layers))

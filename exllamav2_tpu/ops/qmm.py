@@ -59,7 +59,7 @@ def _divisors(total: int, step: int, cap: int):
 
 
 def _pick_tiles(rows_pad: int, n: int, bits: int, group_rows: int,
-                m_pad: int) -> tuple[int, int]:
+                m_pad: int, n_unit: int | None = None) -> tuple[int, int]:
     """Choose (k_tile, n_tile) maximizing block size within a VMEM budget.
 
     Decode is HBM-bound: throughput tracks DMA transfer size, so prefer the
@@ -71,6 +71,9 @@ def _pick_tiles(rows_pad: int, n: int, bits: int, group_rows: int,
         if kt % group_rows:
             continue
         for nt in _divisors(n, 128, 8192):
+            if n_unit and n_unit % nt:
+                continue          # merged sources: tiles must not
+                                  # straddle a source boundary
             plane_b = kt * bits // 32 * nt * 4
             steps = (n // nt) * (rows_pad // kt)
             # enough grid steps that Mosaic's input pipeline overlaps DMA
@@ -92,6 +95,28 @@ def _dequant_block(refs, seg, n_tile: int, k_tile: int) -> jax.Array:
         scale_ref, zero_ref = refs[-2], refs[-1]
         s = scale_ref[:]
         z = zero_ref[:]
+    elif getattr(seg, "scale_f", None) is not None:
+        # load-time-decoded bf16 scale rows: stream them, skip the
+        # in-kernel sqrt decode (precompute_scales_linear)
+        plane_refs = refs[:-1]
+        s = refs[-1][:].astype(jnp.float32)
+        z = None
+    elif getattr(seg, "src_cols", ()):
+        # column-merged segment: smax block is [gt, n_sources]; select
+        # the source whose columns this n-tile covers (tiles never
+        # straddle boundaries — _pick_tiles) and decode exactly
+        plane_refs = refs[:-2]
+        qs_ref, smax_ref = refs[-2], refs[-1]
+        pid = pl.program_id(0)
+        src_idx = jnp.int32(0)
+        for b in seg.src_cols[1:]:
+            src_idx = src_idx + (pid >= b // n_tile).astype(jnp.int32)
+        blk = smax_ref[:]                              # [gt, nsrc]
+        cols = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+        smax_col = jnp.sum(
+            jnp.where(cols == src_idx, blk, 0.0), axis=1, keepdims=True)
+        s = D.exl2_scales(qs_ref[:], smax_col)
+        z = None
     else:
         plane_refs = refs[:-2]
         qs_ref, smax_ref = refs[-2], refs[-1]
@@ -115,8 +140,15 @@ def _fused_segment_matmul(x: jax.Array, seg) -> jax.Array:
     rows_pad = seg.rows_pad
     assert k_pad == rows_pad, (k_pad, rows_pad)
     n = seg.planes[0].shape[1]
+    n_unit = None
+    if getattr(seg, "src_cols", ()):
+        import math
+        from functools import reduce
+        widths = [b - a for a, b in
+                  zip(seg.src_cols, list(seg.src_cols[1:]) + [n])]
+        n_unit = reduce(math.gcd, widths)
     k_tile, n_tile = _pick_tiles(rows_pad, n, seg.bits, seg.group_rows,
-                                 m_pad)
+                                 m_pad, n_unit)
     gt = k_tile // seg.group_rows
     assert gt * seg.group_rows == k_tile, (k_tile, seg.group_rows)
     grid = (n // n_tile, rows_pad // k_tile)
@@ -148,12 +180,19 @@ def _fused_segment_matmul(x: jax.Array, seg) -> jax.Array:
             pl.BlockSpec((gt, n_tile), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
         ]
+    elif getattr(seg, "scale_f", None) is not None:
+        meta_args = (seg.scale_f,)
+        meta_specs = [
+            pl.BlockSpec((gt, n_tile), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ]
     else:
+        nsrc = seg.smax.shape[1]
         meta_args = (seg.qscale, seg.smax)
         meta_specs = [
             pl.BlockSpec((gt, n_tile), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gt, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((gt, nsrc), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ]
 
@@ -210,12 +249,17 @@ def qmm(x: jax.Array, lin: QuantLinear, *, fused: bool | None = None) -> jax.Arr
             row += seg.rows
         y = out[:m]
     else:
+        # bf16 feeds the MXU on TPU; the CPU backend's thunk runtime
+        # cannot execute bf16 dots fused with the act-order gather
+        # (DotThunk "BF16 x BF16 = F32" UNIMPLEMENTED), so tests and
+        # CPU-mesh shards compute the dot in f32
+        dt = jnp.bfloat16 if not _interpret() else jnp.float32
         y = None
         row = 0
         for seg in lin.segments:
             w = D.dequant_segment(seg)                     # [rows, n] bf16
             xs = jax.lax.slice_in_dim(x2, row, row + seg.rows, axis=1)
-            part = jnp.dot(xs.astype(jnp.bfloat16), w,
+            part = jnp.dot(xs.astype(dt), w.astype(dt),
                            preferred_element_type=jnp.float32)
             y = part if y is None else y + part
             row += seg.rows
@@ -237,7 +281,11 @@ def linear_apply(x: jax.Array, lin, *, fused: bool | None = None) -> jax.Array:
             preferred_element_type=jnp.float32)
         return y
     if isinstance(lin, DenseLinear):
-        y = jnp.dot(x.astype(jnp.bfloat16), lin.weight,
+        # see the unfused-branch note in qmm(): CPU's thunk runtime
+        # cannot execute some bf16 dot fusions, so off-TPU the dot runs
+        # in f32 (tests / CPU-mesh shards only; TPU keeps bf16 MXU dots)
+        dt = jnp.bfloat16 if not _interpret() else jnp.float32
+        y = jnp.dot(x.astype(dt), lin.weight.astype(dt),
                     preferred_element_type=jnp.float32)
         if lin.bias is not None:
             y = y + lin.bias.astype(jnp.float32)

@@ -101,8 +101,9 @@ def unpack_planes_np(planes: list[np.ndarray], bits: int, n: int) -> np.ndarray:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["planes", "qscale", "smax"],
-         meta_fields=["bits", "plane_bits", "rows", "group_rows"])
+         data_fields=["planes", "qscale", "smax", "scale_f"],
+         meta_fields=["bits", "plane_bits", "rows", "group_rows",
+                      "src_cols"])
 @dataclasses.dataclass
 class QuantSegment:
     """One uniform-bit-width run of K-rows of an EXL2 matrix (TPU layout)."""
@@ -113,6 +114,14 @@ class QuantSegment:
     plane_bits: tuple[int, ...]
     rows: int                       # logical K-rows covered
     group_rows: int                 # rows per group
+    # optional load-time-decoded bf16 scale rows [groups_pad, N]: trades
+    # ~+6% weight-stream bytes for dropping the in-kernel sqrt decode of
+    # qscale/smax (ops/dequant.precompute_scales_linear)
+    scale_f: jax.Array | None = None
+    # column-merged segments (ops/dequant.merge_linears): start column of
+    # each source matrix; smax is then [groups_pad, n_sources] and the
+    # kernel selects the source's column per n-tile — bitwise-exact
+    src_cols: tuple = ()
 
     @property
     def rows_pad(self) -> int:
@@ -268,6 +277,8 @@ def slice_columns(lin, beg: int, end: int):
             repl["zero"] = seg.zero[:, beg:end]
         else:
             repl["qscale"] = seg.qscale[:, beg:end]
+            if seg.scale_f is not None:
+                repl["scale_f"] = seg.scale_f[:, beg:end]
         segs.append(dataclasses.replace(seg, **repl))
     bias = None if lin.bias is None else lin.bias[beg:end]
     return QuantLinear(segments=tuple(segs), perm=lin.perm, bias=bias,
@@ -293,6 +304,8 @@ def gather_columns(lin, idx):
             repl["zero"] = jnp.take(seg.zero, idx, axis=1)
         else:
             repl["qscale"] = jnp.take(seg.qscale, idx, axis=1)
+            if seg.scale_f is not None:
+                repl["scale_f"] = jnp.take(seg.scale_f, idx, axis=1)
         segs.append(dataclasses.replace(seg, **repl))
     bias = None if lin.bias is None else jnp.take(lin.bias, idx)
     n = int(idx.shape[0])

@@ -185,7 +185,7 @@ def test_moe_capacity_dispatch_matches_dense():
     try:
         y_dense = np.asarray(F.moe_forward(x, mw, st))
     finally:
-        F._MOE_DISPATCH_MIN_TOKENS[0] = 256
+        F._MOE_DISPATCH_MIN_TOKENS[0] = 64
     rel = np.abs(y_disp - y_dense).max() / (np.abs(y_dense).max() + 1e-9)
     assert rel < 5e-3, rel
 
@@ -227,3 +227,38 @@ def test_rank_reduce():
     mw2 = rank_reduce_model(mw, 0.5)
     a = np.asarray(mw2.layers[0].mlp.down.weight, np.float32)
     assert np.linalg.matrix_rank(a, tol=1e-3) <= 32
+
+
+def test_merged_serving_weights_match():
+    """Merged qkv / gate_up decode fast path (ops/dequant.
+    merge_serving_weights): outputs match the unmerged model. The merge
+    is bitwise-exact on the dequantized weights (per-source smax columns
+    selected in-kernel); only the f32 accumulation order may differ with
+    the wider tiles, so compare within a tight relative tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from exllamav2_tpu.models import forward as F
+    from exllamav2_tpu.ops.dequant import merge_serving_weights
+    from exllamav2_tpu.utils.testing import random_model_weights
+    from exllamav2_tpu.cache import KVCache
+
+    w, st = random_model_weights(
+        vocab=512, hidden=256, layers=2, heads=8, kv_heads=4,
+        inter=512, max_seq=64, bits=4, seed=9)
+    wm = merge_serving_weights(w)
+    assert wm.layers[0].attn.qkv is not None
+    assert wm.layers[0].mlp.gate_up is not None
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        3, 500, (1, 8)).astype(np.int32))
+
+    def run(weights):
+        cache = KVCache.alloc(st.num_layers, 1, 64, st.num_kv_heads,
+                              st.head_dim)
+        logits, _ = jax.jit(F.model_forward, static_argnums=(1,))(
+            weights, st, ids, cache, jnp.int32(0))
+        return np.asarray(logits)
+
+    a, b = run(w), run(wm)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.02, rel
