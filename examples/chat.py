@@ -1,38 +1,54 @@
-"""Console chat (reference examples/chat.py analog).
+"""Console chat (reference examples/chat.py + chat_prompts.py analog).
 
 Prompt formats: raw / llama / llama3 / chatml / mistral / gemma / phi3 /
 cohere / granite / deepseek. Streams tokens as they generate.
 
+Behavioral parity with the reference chat client (examples/chat.py:188-458):
+turn-based context management that drops the OLDEST turns when the
+context fills (keeping the system prompt), full sampler surface (DRY /
+XTC / smoothing / dynamic temperature / typical / skew ...), draft-model
+and n-gram speculative decoding, multi-line input, per-response timings,
+amnesia mode, and special-token prompt encoding for formats whose
+markers are control tokens.
+
     python examples/chat.py -m <model_dir> -mode llama3
+    python examples/chat.py -modes          # list formats
 """
 
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROMPT_FORMATS = {
     "raw": {
+        "description": "bare {user}/{bot} dialogue, no special tokens",
         "system": "{system}\n",
-        "turn": "User: {user}\nAssistant:",
-        "stop": ["User:"],
+        "turn": "{username}: {user}\n{botname}:",
+        "stop": ["{username}:"],
     },
     "llama3": {
+        "description": "Llama-3 instruct header tokens",
         "system": "<|begin_of_text|><|start_header_id|>system"
                   "<|end_header_id|>\n\n{system}<|eot_id|>",
         "turn": "<|start_header_id|>user<|end_header_id|>\n\n{user}"
                 "<|eot_id|><|start_header_id|>assistant"
                 "<|end_header_id|>\n\n",
         "stop": ["<|eot_id|>"],
+        "special": True,
     },
     "chatml": {
+        "description": "ChatML (<|im_start|> markers): Qwen, Yi, ...",
         "system": "<|im_start|>system\n{system}<|im_end|>\n",
         "turn": "<|im_start|>user\n{user}<|im_end|>\n"
                 "<|im_start|>assistant\n",
         "stop": ["<|im_end|>"],
+        "special": True,
     },
     "llama": {                       # llama-2 [INST] style: the system
+        "description": "Llama-2 [INST] <<SYS>> blocks",
         "system": "",                # prompt folds into the first [INST]
         "first_turn": "[INST] <<SYS>>\n{system}\n<</SYS>>\n\n"
                       "{user} [/INST]",
@@ -40,35 +56,45 @@ PROMPT_FORMATS = {
         "stop": ["[INST]"],
     },
     "mistral": {
+        "description": "Mistral-instruct [INST] blocks",
         "system": "<s>",
         "turn": "[INST] {user} [/INST]",
         "stop": ["[INST]", "</s>"],
+        "special": True,
     },
     "gemma": {
-        "system": "<bos>",           # gemma has no system role
+        "description": "Gemma start_of_turn dialogue (no system role)",
+        "system": "<bos>",
         "turn": "<start_of_turn>user\n{user}<end_of_turn>\n"
                 "<start_of_turn>model\n",
         "stop": ["<end_of_turn>"],
+        "special": True,
     },
     "phi3": {
+        "description": "Phi-3 <|user|>/<|assistant|> markers",
         "system": "<|system|>\n{system}<|end|>\n",
         "turn": "<|user|>\n{user}<|end|>\n<|assistant|>\n",
         "stop": ["<|end|>"],
+        "special": True,
     },
     "cohere": {
+        "description": "Command-R turn tokens",
         "system": "<BOS_TOKEN><|START_OF_TURN_TOKEN|><|SYSTEM_TOKEN|>"
                   "{system}<|END_OF_TURN_TOKEN|>",
         "turn": "<|START_OF_TURN_TOKEN|><|USER_TOKEN|>{user}"
                 "<|END_OF_TURN_TOKEN|><|START_OF_TURN_TOKEN|>"
                 "<|CHATBOT_TOKEN|>",
         "stop": ["<|END_OF_TURN_TOKEN|>"],
+        "special": True,
     },
     "granite": {
+        "description": "Granite System/Question/Answer blocks",
         "system": "System:\n{system}\n\n",
         "turn": "Question:\n{user}\n\nAnswer:\n",
         "stop": ["Question:"],
     },
     "deepseek": {
+        "description": "DeepSeek User/Assistant dialogue",
         "system": "{system}\n\n",
         "turn": "User: {user}\n\nAssistant:",
         "stop": ["User:"],
@@ -76,43 +102,150 @@ PROMPT_FORMATS = {
 }
 
 
+def build_settings(args):
+    from exllamav2_tpu.generator.sampler import Settings
+    s = Settings(
+        temperature=args.temperature,
+        smoothing_factor=args.smoothing_factor,
+        top_k=args.top_k, top_p=args.top_p, top_a=args.top_a,
+        typical=args.typical, skew=args.skew,
+        token_repetition_penalty=args.repetition_penalty,
+        token_frequency_penalty=args.frequency_penalty,
+        token_presence_penalty=args.presence_penalty,
+        xtc_probability=args.xtc_probability,
+        xtc_threshold=args.xtc_threshold,
+        dry_multiplier=args.dry_multiplier,
+        dry_allowed_length=args.dry_allowed_length,
+        dry_base=args.dry_base, dry_range=args.dry_range,
+    )
+    if args.dynamic_temperature:
+        lo, hi, exp = (float(v) for v in
+                       args.dynamic_temperature.split(","))
+        s.min_temp, s.max_temp, s.temp_exponent = lo, hi, exp
+    return s
+
+
+def read_user_input(multiline: bool) -> str:
+    if not multiline:
+        return input("\nYou: ")
+    print("\nYou (end with a line containing only '.'): ")
+    lines = []
+    while True:
+        line = input()
+        if line.strip() == ".":
+            break
+        lines.append(line)
+    return "\n".join(lines)
+
+
 def main():
     ap = argparse.ArgumentParser()
     from exllamav2_tpu import model_init
     model_init.add_args(ap)
+    ap.add_argument("-modes", action="store_true",
+                    help="list available formats and exit")
     ap.add_argument("-mode", choices=list(PROMPT_FORMATS), default="raw")
+    ap.add_argument("-un", "--username", default="User")
+    ap.add_argument("-bn", "--botname", default="Assistant")
     ap.add_argument("-sp", "--system_prompt",
                     default="You are a helpful assistant.")
-    ap.add_argument("-temp", type=float, default=0.8)
+    ap.add_argument("-nsp", "--no_system_prompt", action="store_true")
+    ap.add_argument("-temp", "--temperature", type=float, default=0.8)
+    ap.add_argument("-smooth", "--smoothing_factor", type=float, default=0.0)
+    ap.add_argument("-dyntemp", "--dynamic_temperature", default=None,
+                    help="min,max,exponent")
+    ap.add_argument("-topk", "--top_k", type=int, default=50)
+    ap.add_argument("-topp", "--top_p", type=float, default=0.8)
+    ap.add_argument("-topa", "--top_a", type=float, default=0.0)
+    ap.add_argument("-typical", type=float, default=0.0)
+    ap.add_argument("-skew", type=float, default=0.0)
+    ap.add_argument("-repp", "--repetition_penalty", type=float,
+                    default=1.05)
+    ap.add_argument("-freqpen", "--frequency_penalty", type=float,
+                    default=0.0)
+    ap.add_argument("-prespen", "--presence_penalty", type=float,
+                    default=0.0)
+    ap.add_argument("-xtcp", "--xtc_probability", type=float, default=0.0)
+    ap.add_argument("-xtct", "--xtc_threshold", type=float, default=0.1)
+    ap.add_argument("-drym", "--dry_multiplier", type=float, default=0.0)
+    ap.add_argument("-drya", "--dry_allowed_length", type=int, default=2)
+    ap.add_argument("-dryb", "--dry_base", type=float, default=1.75)
+    ap.add_argument("-dryr", "--dry_range", type=int, default=0)
     ap.add_argument("-maxr", "--max_response_tokens", type=int, default=512)
-    args = ap.parse_args()
+    ap.add_argument("-resc", "--response_chunk", type=int, default=250,
+                    help="context space reserved for the reply")
+    ap.add_argument("-dm", "--draft_model_dir", default=None)
+    ap.add_argument("-dn", "--draft_n_tokens", type=int, default=4)
+    ap.add_argument("-ngram", "--ngram_decoding", action="store_true")
+    ap.add_argument("-mli", action="store_true", help="multi-line input")
+    ap.add_argument("-pt", "--print_timings", action="store_true")
+    ap.add_argument("-amnesia", action="store_true",
+                    help="forget context after every response")
+    args, _ = ap.parse_known_args()
 
-    model, tokenizer, generator = model_init.init(args)
+    if args.modes:
+        print(" -- Available formats:")
+        for k, v in PROMPT_FORMATS.items():
+            print(f" --   {k:10} : {v['description']}")
+        return
+
+    model, tokenizer, generator = model_init.init(
+        args, draft_model_dir=args.draft_model_dir,
+        num_draft_tokens=args.draft_n_tokens,
+        use_ngram_draft=args.ngram_decoding)
     fmt = PROMPT_FORMATS[args.mode]
+    special = bool(fmt.get("special"))
+    system_prompt = "" if args.no_system_prompt else args.system_prompt
+
+    def render(tpl, user=""):
+        return (tpl.replace("{username}", args.username)
+                .replace("{botname}", args.botname)
+                .replace("{system}", system_prompt)
+                .replace("{user}", user))
 
     from exllamav2_tpu.generator.dynamic import DynamicJob
-    from exllamav2_tpu.generator.sampler import Settings
-    settings = Settings(temperature=args.temp, top_p=0.9,
-                        token_repetition_penalty=1.05)
+    settings = build_settings(args)
+    stops = [render(s) for s in fmt["stop"]]
+    max_ctx = generator.max_seq_len - args.response_chunk
 
-    context = fmt["system"].format(system=args.system_prompt)
-    print(" -- chat ready; Ctrl-C to exit")
-    first = True
+    def encode(text):
+        return tokenizer.encode(text, encode_special_tokens=special)
+
+    system_text = render(fmt["system"])
+    turns: list[tuple[str, str]] = []    # (user_text, bot_text)
+
+    def context_ids():
+        """system + newest turns that fit in max_ctx tokens (reference
+        get_tokenized_context: drop the OLDEST turns first)."""
+        sys_ids = encode(system_text)
+        kept, total = [], len(sys_ids)
+        for i, (u, b) in enumerate(reversed(turns)):
+            first = (len(turns) - 1 - i) == 0
+            tpl = fmt.get("first_turn", fmt["turn"]) if first \
+                else fmt["turn"]
+            ids = encode(render(tpl, user=u) + b)
+            if total + len(ids) > max_ctx and kept:
+                break
+            total += len(ids)
+            kept.append(ids)
+        import numpy as np
+        return np.concatenate([sys_ids] + kept[::-1]) if kept else sys_ids
+
+    print(" -- chat ready; Ctrl-C to exit"
+          + (" ('.' line ends multi-line input)" if args.mli else ""))
     while True:
         try:
-            user = input("\nYou: ")
+            user = read_user_input(args.mli)
         except (KeyboardInterrupt, EOFError):
             print()
             break
-        turn = fmt.get("first_turn", fmt["turn"]) if first else fmt["turn"]
-        first = False
-        context += turn.format(user=user, system=args.system_prompt)
+        turns.append((user, ""))
         job = generator.enqueue(DynamicJob(
-            tokenizer.encode(context),
-            max_new_tokens=args.max_response_tokens,
-            settings=settings, stop_conditions=list(fmt["stop"])))
-        print("Bot: ", end="", flush=True)
+            context_ids(), max_new_tokens=args.max_response_tokens,
+            settings=settings, stop_conditions=list(stops)))
+        print(f"{args.botname}: ", end="", flush=True)
         reply = ""
+        t0 = time.perf_counter()
         while job.status != "done":
             for r in generator.iterate():
                 if r.get("serial") == id(job):
@@ -120,7 +253,15 @@ def main():
                     reply += chunk
                     print(chunk, end="", flush=True)
         print()
-        context += reply + (fmt["stop"][0] if args.mode != "raw" else "\n")
+        if args.print_timings:
+            dt = max(time.perf_counter() - t0, 1e-9)
+            print(f" -- {job.new_tokens} tokens, "
+                  f"{job.new_tokens / dt:.1f} t/s, "
+                  f"prompt {job.prompt_len} tokens")
+        if args.amnesia:
+            turns.clear()
+        else:
+            turns[-1] = (user, reply + stops[0])
 
 
 if __name__ == "__main__":

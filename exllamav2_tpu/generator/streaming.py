@@ -30,6 +30,9 @@ class StreamingGenerator:
                         token_healing: bool = False,
                         max_new_tokens: int = 10 ** 9,
                         banned_strings: list[str] | None = None,
+                        return_probabilities: bool = False,
+                        return_top_tokens: int = 0,
+                        return_logits: bool = False,
                         loras=None):
         from exllamav2_tpu.generator.dynamic import DynamicJob
         ids = np.asarray(input_ids, np.int32).reshape(-1)
@@ -38,11 +41,16 @@ class StreamingGenerator:
             settings=gen_settings or Settings(),
             stop_conditions=self.stop_settings,
             token_healing=token_healing,
-            banned_strings=banned_strings))
+            banned_strings=banned_strings,
+            return_probs=return_probabilities,
+            return_top_tokens=return_top_tokens,
+            return_logits=return_logits))
         self._queue = []
 
     def stream_ex(self) -> dict:
-        """-> {"chunk": str, "eos": bool, "chunk_token_ids": ndarray}."""
+        """-> {"chunk", "eos", "chunk_token_ids"} + the optional
+        probs/top_probs/logits extras when requested at begin_stream_ex
+        (reference streaming.py:180-220 return-* surface)."""
         assert self.job is not None, "begin_stream_ex first"
         while not self._queue and self.job.status != "done":
             for r in self.generator.iterate():
@@ -53,8 +61,13 @@ class StreamingGenerator:
             return {"chunk": "", "eos": True,
                     "chunk_token_ids": np.empty((0,), np.int32)}
         r = self._queue.pop(0)
-        return {"chunk": r.get("text", ""), "eos": bool(r.get("eos")),
-                "chunk_token_ids": np.asarray(r.get("token_ids", []))}
+        out = {"chunk": r.get("text", ""), "eos": bool(r.get("eos")),
+               "chunk_token_ids": np.asarray(r.get("token_ids", []))}
+        for key in ("token_probs", "top_k_tokens", "top_k_probs",
+                    "logits"):
+            if key in r:
+                out[key] = r[key]
+        return out
 
     def stream(self) -> tuple[str, bool, np.ndarray]:
         r = self.stream_ex()

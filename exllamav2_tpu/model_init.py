@@ -37,8 +37,13 @@ def cache_kind(args) -> str:
     return "bf16"
 
 
-def init(args, max_batch_size: int = 8):
-    """-> (model, tokenizer, generator) like model_init.init()."""
+def init(args, max_batch_size: int = 8, draft_model_dir: str | None = None,
+         num_draft_tokens: int = 4, use_ngram_draft: bool = False,
+         mesh=None):
+    """-> (model, tokenizer, generator) like model_init.init().
+
+    draft_model_dir / use_ngram_draft enable speculative decoding
+    (reference chat.py -dm / -ngram); mesh shards the serving stack."""
     model = Model.from_dir(args.model_dir)
     tokenizer = load_tokenizer(args.model_dir)
     max_len = args.length or model.config.max_seq_len
@@ -46,8 +51,20 @@ def init(args, max_batch_size: int = 8):
     cache = PagedKVCache.alloc(
         model.static.num_layers, pages, model.static.num_kv_heads,
         model.static.head_dim, cache_kind(args))
+    draft_model = draft_cache = None
+    if draft_model_dir:
+        draft_model = Model.from_dir(draft_model_dir)
+        draft_cache = PagedKVCache.alloc(
+            draft_model.static.num_layers, pages,
+            draft_model.static.num_kv_heads,
+            draft_model.static.head_dim, cache_kind(args))
     from exllamav2_tpu.generator.dynamic import DynamicGenerator
     gen = DynamicGenerator(model, cache, tokenizer,
                            max_batch_size=max_batch_size,
-                           max_seq_len=max_len)
+                           max_seq_len=max_len,
+                           draft_model=draft_model,
+                           draft_cache=draft_cache,
+                           num_draft_tokens=num_draft_tokens,
+                           use_ngram_draft=use_ngram_draft,
+                           mesh=mesh)
     return model, tokenizer, gen

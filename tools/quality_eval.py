@@ -1,0 +1,196 @@
+"""Quality evaluation: ppl / KLD deltas for cache + weight quantization.
+
+Replicates the shape of the reference's published quality tables
+(doc/qcache_eval.md:13-77 — ppl per cache mode; README model table —
+bpw-vs-quality) on the fixtures available in this environment. Real
+checkpoints cannot be downloaded here (zero egress), so the tables are
+computed on synthetic tiny-llama fixtures: the deltas bound the
+IMPLEMENTATION's numerics (cache codec error, GPTQ reconstruction error),
+not any real model's task quality.
+
+Writes docs/QUALITY.md with --write; tests/test_quality.py asserts the
+same deltas against thresholds.
+
+    python tools/quality_eval.py [--write]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE_KINDS = ("bf16", "fp8", "q8", "q6", "q4")
+
+
+def build_fixtures(tmp: str, *, vocab=384, hidden=256, layers=2, heads=8,
+                   kv_heads=4, inter=512, seed=5):
+    """-> (dense_dir, exl2_4bpw_dir, exl2_6bpw_dir)."""
+    from exllamav2_tpu.convert.pipeline import convert_model
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+
+    dense = os.path.join(tmp, "dense")
+    make_tiny_llama(dense, quant=None, vocab=vocab, hidden=hidden,
+                    layers=layers, heads=heads, kv_heads=kv_heads,
+                    inter=inter, max_pos=2048, seed=seed, head_scale=6.0)
+    q4 = os.path.join(tmp, "q4bpw")
+    convert_model(dense, q4, bits=4.0, head_bits=6, cal_rows=4,
+                  cal_len=128, progress=lambda *a, **k: None)
+    q6 = os.path.join(tmp, "q6bpw")
+    convert_model(dense, q6, bits=6.0, head_bits=8, cal_rows=4,
+                  cal_len=128, progress=lambda *a, **k: None)
+    return dense, q4, q6
+
+
+def eval_rows(model, rows: int = 4, row_len: int = 256,
+              seed: int = 3) -> np.ndarray:
+    """Self-generated eval rows: temperature-sampled continuations FROM
+    the fp16 model.
+
+    An untrained fixture has no external text it can predict, so plain
+    text ppl is noise (quantization can even "improve" it). Scoring on
+    the reference model's OWN samples makes degradation monotone: the
+    fp16 model is near its own distribution by construction, and cache /
+    weight quantization error shows up as a ppl increase relative to it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    vocab = model.static.vocab_size
+    prompts = rng.integers(3, vocab, (rows, 8)).astype(np.int32)
+
+    cache = model.new_cache(batch=rows, max_seq=row_len + 16)
+    lg, cache = model.forward(jnp.asarray(prompts), cache, 0)
+    key = jax.random.PRNGKey(seed)
+    toks = [prompts]
+    tok = None
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(w, cache, tok, pos, key):
+        from exllamav2_tpu.models.forward import model_forward
+        logits, cache = model_forward(w, model.static, tok, cache, pos)
+        key, sub = jax.random.split(key)
+        nxt = jax.random.categorical(
+            sub, logits[:, -1, :].astype(jnp.float32) / 0.8, axis=-1)
+        return cache, nxt.astype(jnp.int32)[:, None], key
+
+    tok = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
+    out = [tok]
+    pos = prompts.shape[1]
+    for _ in range(row_len - prompts.shape[1] - 1):
+        cache, tok, key = step(model.weights, cache, tok,
+                               jnp.int32(pos), key)
+        out.append(tok)
+        pos += 1
+    gen = np.concatenate([np.asarray(t) for t in out], axis=1)
+    return np.concatenate([prompts, gen], axis=1).astype(np.int32)
+
+
+def cache_ppl_table(model, rows: np.ndarray) -> dict[str, float]:
+    from exllamav2_tpu.evals import perplexity
+    return {kind: perplexity(model, rows, cache_kind=kind)
+            for kind in CACHE_KINDS}
+
+
+def weight_kld(model_a, model_b, rows: np.ndarray) -> dict[str, float]:
+    """Mean/max next-token KLD of B against A + top-1 agreement."""
+    import jax
+    import jax.numpy as jnp
+
+    def logits(model, row):
+        cache = model.new_cache(batch=1, max_seq=row.shape[0] + 8)
+        lg, _ = model.forward(jnp.asarray(row[None, :]), cache, 0)
+        return np.asarray(lg, np.float32)[0]
+
+    klds, agree = [], []
+    for row in rows:
+        la, lb = logits(model_a, row), logits(model_b, row)
+        pa = jax.nn.log_softmax(jnp.asarray(la), axis=-1)
+        pb = jax.nn.log_softmax(jnp.asarray(lb), axis=-1)
+        kld = np.asarray(jnp.sum(jnp.exp(pa) * (pa - pb), axis=-1))
+        klds.append(kld)
+        agree.append(np.asarray(la).argmax(-1) == np.asarray(lb).argmax(-1))
+    klds = np.concatenate(klds)
+    return {"kld_mean": float(klds.mean()), "kld_max": float(klds.max()),
+            "top1_agree": float(np.concatenate(agree).mean())}
+
+
+def run(write: bool = False, tmp: str | None = None):
+    from exllamav2_tpu.models.model import Model
+
+    owns = tmp is None
+    tmp = tmp or tempfile.mkdtemp(prefix="quality_eval_")
+    dense_dir, q4_dir, q6_dir = build_fixtures(tmp)
+    dense = Model.from_dir(dense_dir)
+    m4 = Model.from_dir(q4_dir)
+    m6 = Model.from_dir(q6_dir)
+    rows = eval_rows(dense)
+
+    ppl_dense = cache_ppl_table(dense, rows)
+    ppl_q4 = cache_ppl_table(m4, rows)
+    kld4 = weight_kld(dense, m4, rows[:2])
+    kld6 = weight_kld(dense, m6, rows[:2])
+
+    res = {"ppl_dense": ppl_dense, "ppl_q4": ppl_q4,
+           "kld4": kld4, "kld6": kld6}
+    md = render(res)
+    print(md)
+    if write:
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "QUALITY.md")
+        with open(out, "w") as f:
+            f.write(md)
+        print(f"-- wrote {out}")
+    return res
+
+
+def render(res) -> str:
+    l = []
+    l.append("# Quality: cache + weight quantization deltas\n")
+    l.append("Replicates the reference's quality tables "
+             "(`doc/qcache_eval.md:13-77`, README model table) on the "
+             "synthetic fixtures available in this zero-egress "
+             "environment. The numbers bound the IMPLEMENTATION's "
+             "numerics — cache codec error and GPTQ reconstruction "
+             "error — on an untrained tiny-llama; real-model task "
+             "quality requires real checkpoints. Regenerate with "
+             "`python tools/quality_eval.py --write`; "
+             "`tests/test_quality.py` asserts the same deltas under "
+             "thresholds.\n")
+    l.append("## Perplexity by KV-cache mode\n")
+    l.append("Ppl over rows sampled from the fp16 model itself (an "
+             "untrained fixture has no external text to predict, so "
+             "self-generated rows are the monotone signal), paged cache "
+             "in each codec (`exllamav2_tpu/evals.py:perplexity`). "
+             "Delta is vs the same model with the bf16 cache.\n")
+    l.append("| model | " + " | ".join(CACHE_KINDS) + " |")
+    l.append("|---|" + "---|" * len(CACHE_KINDS))
+    for name, tbl in (("fp16 weights", res["ppl_dense"]),
+                      ("exl2 4.0bpw", res["ppl_q4"])):
+        base = tbl["bf16"]
+        cells = [f"{tbl['bf16']:.4f}"] + [
+            f"{tbl[k]:.4f} ({100*(tbl[k]/base-1):+.3f}%)"
+            for k in CACHE_KINDS[1:]]
+        l.append(f"| {name} | " + " | ".join(cells) + " |")
+    l.append("")
+    l.append("## Weight quantization KLD vs fp16\n")
+    l.append("Next-token KLD of the quantized model against the fp16 "
+             "original over the same rows (util/estimate_kld.py method).\n")
+    l.append("| model | mean KLD | max KLD | top-1 agree |")
+    l.append("|---|---|---|---|")
+    for name, k in (("exl2 4.0bpw", res["kld4"]),
+                    ("exl2 6.0bpw", res["kld6"])):
+        l.append(f"| {name} | {k['kld_mean']:.5f} | {k['kld_max']:.5f} "
+                 f"| {100*k['top1_agree']:.2f}% |")
+    l.append("")
+    return "\n".join(l)
+
+
+if __name__ == "__main__":
+    run(write="--write" in sys.argv)
