@@ -189,7 +189,8 @@ class DynamicGenerator:
                  max_seq_len: int | None = None,
                  draft_model=None, draft_cache: PagedKVCache | None = None,
                  num_draft_tokens: int = 4, use_ngram_draft: bool = False,
-                 max_ngram: int = 4, mesh=None):
+                 max_ngram: int = 4, mesh=None,
+                 merged_weights: bool = False):
         # multi-chip serving: shard weights (TP splits) + paged cache
         # (kv-head split) over the mesh. Two modes:
         #   * fused (preferred): the whole forward runs under shard_map —
@@ -205,6 +206,13 @@ class DynamicGenerator:
         self.mesh = mesh
         self._tp_fused = False
         self._fwd_last = self._fwd_full = None
+        if merged_weights and mesh is None:
+            # single-chip decode fast path: merged q|k|v and gate|up
+            # weight streams (bitwise-exact; ops/dequant.merge_linears)
+            from exllamav2_tpu.models.model import Model as _Model
+            from exllamav2_tpu.ops.dequant import merge_serving_weights
+            model = _Model(merge_serving_weights(model.weights),
+                           model.static, model.config)
         if mesh is not None:
             import dataclasses as _dc
             from exllamav2_tpu.models.model import Model as _Model
