@@ -1529,7 +1529,9 @@ class DynamicGenerator:
     # ------------------------------------------------------------------
 
     def encode_with_embeddings(self, text: str, embeddings: list,
-                               add_bos: bool = False) -> np.ndarray:
+                               add_bos: bool = False,
+                               encode_special_tokens: bool = False
+                               ) -> np.ndarray:
         """Tokenize text containing MMEmbedding text aliases, splicing in
         the embedding token-id ranges (dynamic.py:612-648 analog)."""
         segments = [(None, text)]
@@ -1553,7 +1555,9 @@ class DynamicGenerator:
                 ids.append(emb.get_ids_array().astype(np.int64))
             elif seg:
                 ids.append(self.tokenizer.encode(
-                    seg, add_bos=False).astype(np.int64))
+                    seg, add_bos=False,
+                    encode_special_tokens=encode_special_tokens
+                ).astype(np.int64))
         return np.concatenate(ids).astype(np.int32) if ids else \
             np.zeros(0, np.int32)
 
@@ -1573,8 +1577,9 @@ class DynamicGenerator:
         jobs = []
         for i, p in enumerate(prompts):
             if embeddings and isinstance(p, str):
-                ids = self.encode_with_embeddings(p, embeddings,
-                                                  add_bos=add_bos)
+                ids = self.encode_with_embeddings(
+                    p, embeddings, add_bos=add_bos,
+                    encode_special_tokens=encode_special_tokens)
             elif isinstance(p, str):
                 ids = self.tokenizer.encode(
                     p, add_bos=add_bos,
