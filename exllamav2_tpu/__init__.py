@@ -14,5 +14,8 @@ from exllamav2_tpu.cache_paged import PagedKVCache, PAGE_SIZE    # noqa: F401
 from exllamav2_tpu.tokenizer import (                            # noqa: F401
     Tokenizer, ByteTokenizer, load_tokenizer)
 from exllamav2_tpu.lora import Lora, apply_lora, remove_lora     # noqa: F401
+from exllamav2_tpu.generator.dynamic import (                    # noqa: F401
+    DynamicGenerator, DynamicJob)
+from exllamav2_tpu.generator.sampler import Settings             # noqa: F401
 
 __version__ = "0.1.0"
