@@ -71,6 +71,12 @@ def main():
         # (7 -> 4 kernel calls per layer; ops/dequant.merge_serving_weights)
         from exllamav2_tpu.ops.dequant import merge_serving_weights
         w = merge_serving_weights(w)
+    if os.environ.get("BENCH_PRESCALE") == "1":
+        # opt-in decode experiment: stream load-time-decoded bf16 group
+        # scales instead of the in-kernel sqrt decode (+6% weight bytes,
+        # ~2 fewer VPU ops/value; ops/dequant.precompute_model_scales)
+        from exllamav2_tpu.ops.dequant import precompute_model_scales
+        w = precompute_model_scales(w)
 
     @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
     def decode(w, tok, cache, past_len, attn_limit):

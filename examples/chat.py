@@ -28,6 +28,7 @@ PROMPT_FORMATS = {
         "system": "{system}\n",
         "turn": "{username}: {user}\n{botname}:",
         "stop": ["{username}:"],
+        "turn_end": "\n",
     },
     "llama3": {
         "description": "Llama-3 instruct header tokens",
@@ -37,6 +38,7 @@ PROMPT_FORMATS = {
                 "<|eot_id|><|start_header_id|>assistant"
                 "<|end_header_id|>\n\n",
         "stop": ["<|eot_id|>"],
+        "turn_end": "<|eot_id|>",
         "special": True,
     },
     "chatml": {
@@ -45,6 +47,7 @@ PROMPT_FORMATS = {
         "turn": "<|im_start|>user\n{user}<|im_end|>\n"
                 "<|im_start|>assistant\n",
         "stop": ["<|im_end|>"],
+        "turn_end": "<|im_end|>\n",
         "special": True,
     },
     "llama": {                       # llama-2 [INST] style: the system
@@ -54,12 +57,14 @@ PROMPT_FORMATS = {
                       "{user} [/INST]",
         "turn": "[INST] {user} [/INST]",
         "stop": ["[INST]"],
+        "turn_end": " ",
     },
     "mistral": {
         "description": "Mistral-instruct [INST] blocks",
         "system": "<s>",
         "turn": "[INST] {user} [/INST]",
         "stop": ["[INST]", "</s>"],
+        "turn_end": "</s>",
         "special": True,
     },
     "gemma": {
@@ -68,6 +73,7 @@ PROMPT_FORMATS = {
         "turn": "<start_of_turn>user\n{user}<end_of_turn>\n"
                 "<start_of_turn>model\n",
         "stop": ["<end_of_turn>"],
+        "turn_end": "<end_of_turn>\n",
         "special": True,
     },
     "phi3": {
@@ -75,6 +81,7 @@ PROMPT_FORMATS = {
         "system": "<|system|>\n{system}<|end|>\n",
         "turn": "<|user|>\n{user}<|end|>\n<|assistant|>\n",
         "stop": ["<|end|>"],
+        "turn_end": "<|end|>\n",
         "special": True,
     },
     "cohere": {
@@ -85,6 +92,7 @@ PROMPT_FORMATS = {
                 "<|END_OF_TURN_TOKEN|><|START_OF_TURN_TOKEN|>"
                 "<|CHATBOT_TOKEN|>",
         "stop": ["<|END_OF_TURN_TOKEN|>"],
+        "turn_end": "<|END_OF_TURN_TOKEN|>",
         "special": True,
     },
     "granite": {
@@ -92,12 +100,14 @@ PROMPT_FORMATS = {
         "system": "System:\n{system}\n\n",
         "turn": "Question:\n{user}\n\nAnswer:\n",
         "stop": ["Question:"],
+        "turn_end": "\n\n",
     },
     "deepseek": {
         "description": "DeepSeek User/Assistant dialogue",
         "system": "{system}\n\n",
         "turn": "User: {user}\n\nAssistant:",
         "stop": ["User:"],
+        "turn_end": "\n\n",
     },
 }
 
@@ -261,7 +271,11 @@ def main():
         if args.amnesia:
             turns.clear()
         else:
-            turns[-1] = (user, reply + stops[0])
+            # close the bot turn with the format's end-of-turn string —
+            # NOT stops[0], which for raw/[INST]/QA formats is the NEXT
+            # turn's opening marker and would duplicate it in the rebuilt
+            # context (the turn template re-renders it)
+            turns[-1] = (user, reply + render(fmt.get("turn_end", "")))
 
 
 if __name__ == "__main__":

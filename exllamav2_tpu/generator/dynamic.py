@@ -251,7 +251,13 @@ class DynamicGenerator:
                 dst = _dc.replace(draft_model.static, fused_matmul=False)
                 try:
                     dw = S.shard_model(draft_model.weights, dst, mesh)
-                except Exception:
+                except ValueError as e:
+                    # expected only for shapes the tp axis doesn't divide
+                    # (tiny draft heads/ffn); anything else should surface
+                    import warnings
+                    warnings.warn(
+                        f"draft model not TP-shardable ({e}); replicating "
+                        f"its weights on all {mesh.devices.size} devices")
                     dw = jax.device_put(
                         draft_model.weights,
                         jax.sharding.NamedSharding(
@@ -475,6 +481,23 @@ class DynamicGenerator:
     def enqueue(self, job: DynamicJob) -> DynamicJob:
         assert job.prompt_len + job.max_new_tokens <= self.max_seq_len, \
             "job exceeds max_seq_len"
+        # a job referencing more distinct pages than the pool holds can
+        # never be admitted (page reuse doesn't reduce the count of
+        # distinct pages referenced) — _try_start would fail forever and,
+        # once the job's skip budget ran out, stall every later admission.
+        # Fail loudly at enqueue instead (page 0 is the reserved null page).
+        margin = self.num_draft_tokens \
+            if (self.draft_model is not None or self.use_ngram_draft) else 0
+        demand = job.pages_needed(self.page_size, margin) \
+            + job.pages2_needed(self.page_size, margin)
+        usable = len(self.pages) - 1
+        if demand > usable:
+            raise ValueError(
+                f"job needs {demand} cache pages (prompt {job.prompt_len} "
+                f"+ max_new_tokens {job.max_new_tokens} + draft margin "
+                f"{margin}) but the cache only has {usable} usable pages")
+        if job.is_cfg and self.num_slots < 2:
+            raise ValueError("CFG jobs need max_batch_size >= 2")
         # token healing: re-predict the last prompt token constrained to
         # pieces extending it (streaming.py token-healing semantics)
         if job.token_healing and job.prompt_len >= 2:
@@ -896,6 +919,37 @@ class DynamicGenerator:
         for job in self.active:
             if job.rewind_deferred:
                 self._rewind_pages(job)
+
+        # forward-progress guarantee: if EVERY active job is sitting out
+        # on a deferred rewind (mutual page starvation — each holds
+        # shared pages another deferred job needs privately copied), no
+        # page can ever free on its own and iterate() would spin forever.
+        # Resolve loudly: finish the youngest deferred job at its rewound
+        # state (its emitted text is valid — the rewind already retracted
+        # the banned string) so its pages release and the others retry.
+        if self.active and all(j.rewind_deferred for j in self.active):
+            victim = max(self.active, key=lambda j: j.time_enqueue)
+            victim.rewind_deferred = False
+            victim.eos_reason = "rewind_page_starvation"
+            victim.status = "done"
+            victim.held_text = ""
+            t_gen = max(victim.time_last_token - victim.time_first_token,
+                        1e-9)
+            results.append({
+                "job": victim, "stage": "streaming", "eos": True,
+                "text": "", "token_ids": np.zeros((0,), np.int64),
+                "identifier": victim.identifier, "serial": id(victim),
+                "eos_reason": victim.eos_reason,
+                "full_completion": victim.emitted_text,
+                "new_tokens": victim.new_tokens,
+                "prompt_tokens": victim.prompt_len,
+                "cached_tokens": victim.reused_tokens,
+                "time_enqueued": victim.time_first_token
+                - victim.time_enqueue,
+                "time_generate": t_gen,
+                "tokens_per_second": (victim.new_tokens - 1) / t_gen
+                if victim.new_tokens > 1 else 0.0,
+            })
 
         # CFG jobs decode as paired rows in their own batches
         cfg_jobs = [j for j in self.active

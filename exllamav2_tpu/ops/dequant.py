@@ -125,9 +125,11 @@ def precompute_scales_linear(lin):
     into bf16 rows carried alongside the segment (QuantSegment.scale_f).
 
     The fused kernel then streams the decoded scales instead of running
-    the in-kernel decode: ~+6% weight-stream bytes for ~0.25 fewer VPU
-    ops/value (docs/DESIGN.md round-3 decode push). Bitwise-exact: the
-    decode is the same fp16-rounded product either way."""
+    the in-kernel decode: ~+6% weight-stream bytes for ~2 fewer VPU
+    ops/value (docs/DESIGN.md round-3 decode push). Near-exact, not
+    bitwise: the fp16-rounded scale takes one extra bf16 rounding
+    (<=2^-9 relative), inside the bf16 rounding the kernel's dequant
+    output takes anyway."""
     import dataclasses
     from exllamav2_tpu.quant.qtensor import QuantLinear
     if not isinstance(lin, QuantLinear):
@@ -138,7 +140,19 @@ def precompute_scales_linear(lin):
                 getattr(seg, "scale_f", None) is not None:
             segs.append(seg)
             continue
-        sf = exl2_scales(seg.qscale, seg.smax).astype(jnp.bfloat16)
+        if getattr(seg, "src_cols", ()):
+            # column-merged segment (merge_serving_weights): smax holds
+            # one column per merged source — expand to full width first
+            n = seg.qscale.shape[1]
+            bounds = list(seg.src_cols) + [n]
+            gt = seg.qscale.shape[0]
+            smax = jnp.concatenate([
+                jnp.broadcast_to(seg.smax[:, i:i + 1],
+                                 (gt, bounds[i + 1] - bounds[i]))
+                for i in range(len(seg.src_cols))], axis=1)
+        else:
+            smax = seg.smax
+        sf = exl2_scales(seg.qscale, smax).astype(jnp.bfloat16)
         segs.append(dataclasses.replace(seg, scale_f=sf))
     return dataclasses.replace(lin, segments=tuple(segs))
 

@@ -54,7 +54,6 @@ class DataParallelGenerator:
             self.replicas.append(DynamicGenerator(
                 model, cache, tokenizer, mesh=mesh, **gen_kwargs))
         self.tokenizer = tokenizer
-        self._jobs: dict[int, int] = {}        # id(job) -> replica idx
 
     @property
     def tp_fused(self) -> bool:
@@ -65,9 +64,7 @@ class DataParallelGenerator:
         return int(np.argmin(loads))
 
     def enqueue(self, job):
-        g = self._pick()
-        self._jobs[id(job)] = g
-        return self.replicas[g].enqueue(job)
+        return self.replicas[self._pick()].enqueue(job)
 
     def iterate(self) -> list[dict]:
         results = []
@@ -76,36 +73,42 @@ class DataParallelGenerator:
                 results.extend(r.iterate())
         return results
 
-    def generate(self, prompts, max_new_tokens: int = 128, **kw):
-        """Batch generate across replicas (same surface as
-        DynamicGenerator.generate)."""
-        single = not isinstance(prompts, (list, tuple))
-        plist = [prompts] if single else list(prompts)
-        outs: dict[int, str] = {}
+    def generate(self, prompt, max_new_tokens: int = 128,
+                 settings=None, seed: int = 0, stop_conditions=None,
+                 add_bos: bool | None = None, completion_only: bool = True,
+                 embeddings: list | None = None,
+                 encode_special_tokens: bool = False):
+        """Batch generate across replicas — same surface and semantics as
+        DynamicGenerator.generate (per-prompt seed offset, MM embedding
+        splicing, special-token encoding, completion_only)."""
+        from exllamav2_tpu.generator.dynamic import DynamicJob
+
+        if add_bos is None:
+            cfg = getattr(self.replicas[0].model, "config", None)
+            add_bos = bool(cfg is not None
+                           and getattr(cfg.arch, "requires_bos", False))
+        prompts = prompt if isinstance(prompt, list) else [prompt]
         jobs = []
-        for i, p in enumerate(plist):
+        for i, p in enumerate(prompts):
             g = self._pick()
-            # route through the replica's own generate bookkeeping by
-            # enqueueing directly (mirrors DynamicGenerator.generate)
-            from exllamav2_tpu.generator.dynamic import DynamicJob
-            from exllamav2_tpu.generator.sampler import Settings
-            settings = kw.get("settings") or Settings()
-            if isinstance(p, str):
-                add_bos = kw.get("add_bos")
-                if add_bos is None:
-                    cfg = getattr(self.replicas[g].model, "config", None)
-                    add_bos = bool(getattr(
-                        getattr(cfg, "arch", None), "requires_bos", False))
-                ids = self.tokenizer.encode(p, add_bos=add_bos)
+            if embeddings and isinstance(p, str):
+                ids = self.replicas[g].encode_with_embeddings(
+                    p, embeddings, add_bos=add_bos,
+                    encode_special_tokens=encode_special_tokens)
+            elif isinstance(p, str):
+                ids = self.tokenizer.encode(
+                    p, add_bos=add_bos,
+                    encode_special_tokens=encode_special_tokens)
             else:
                 ids = np.asarray(p, np.int32)
-            job = DynamicJob(ids, max_new_tokens=max_new_tokens,
-                             settings=settings,
-                             stop_conditions=kw.get("stop_conditions"))
-            job._dp_index = i
-            self.replicas[g].enqueue(job)
-            jobs.append(job)
+            jobs.append(self.replicas[g].enqueue(DynamicJob(
+                ids, max_new_tokens=max_new_tokens,
+                settings=settings, seed=seed + i,
+                stop_conditions=stop_conditions, identifier=i,
+                embeddings=embeddings)))
         while any(j.status != "done" for j in jobs):
             self.iterate()
-        texts = [j.emitted_text for j in jobs]
-        return texts[0] if single else texts
+        outs = [j.emitted_text if completion_only
+                else (prompts[i] + j.emitted_text)
+                for i, j in enumerate(jobs)]
+        return outs if isinstance(prompt, list) else outs[0]

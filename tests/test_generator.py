@@ -153,3 +153,62 @@ def test_quantized_cache_generation(setup):
     gen = _gen(model, kind="q8")
     out = gen.generate("hello", max_new_tokens=6, settings=Settings.greedy())
     assert isinstance(out, str)
+
+
+def test_enqueue_rejects_unservable_job(setup):
+    """A job whose page demand exceeds the pool (page 0 is the reserved
+    null page) can NEVER be admitted — page reuse doesn't reduce the
+    count of distinct pages referenced. It must fail loudly at enqueue,
+    not pend forever and stall the queue once its skip budget runs out."""
+    model = setup
+    gen = _gen(model, pages=4)            # 3 usable pages = 768 tokens
+    ids = (np.arange(700) % 250).astype(np.int32)
+    with pytest.raises(ValueError, match="usable pages"):
+        gen.enqueue(DynamicJob(ids, max_new_tokens=100))  # 800 -> 4 pages
+    # the generator is still healthy: a servable job admits and finishes
+    out = gen.generate("ok", max_new_tokens=6, settings=Settings.greedy())
+    assert isinstance(out, str)
+
+
+def test_mutual_rewind_deferral_resolves(setup):
+    """Forward-progress guarantee: when EVERY active job is excluded by a
+    deferred banned-string rewind (each needs a private copy of a page
+    shared with another deferred job, zero free pages), iterate() must
+    not spin forever — it finishes the youngest deferred job loudly
+    (eos_reason=rewind_page_starvation) so the others can proceed."""
+    model = setup
+    gen = _gen(model, pages=8)
+    jobs = [gen.enqueue(DynamicJob(
+        np.full((40,), 65 + i, np.int32), max_new_tokens=16,
+        settings=Settings.greedy())) for i in range(2)]
+    for _ in range(10):
+        gen.iterate()
+        if gen.active and all(j.status == "generating"
+                              for j in gen.active):
+            break
+    assert len(gen.active) == 2
+    # fabricate mutual starvation: both jobs mid-rewind inside one full
+    # shared page, with no free or evictable page anywhere
+    shared = jobs[0].pages[0]
+    shared.phash = b"\x01" * 16
+    shared.ref_count = 2
+    gen.referenced[shared.phash] = shared
+    jobs[1].pages[0] = shared
+    gen.free_pages = []
+    gen.unreferenced.clear()
+    for j in jobs:
+        j.rewind_deferred = True
+
+    res = gen.iterate()
+    done = [r for r in res if r.get("eos")]
+    assert len(done) == 1
+    assert done[0]["eos_reason"] == "rewind_page_starvation"
+    assert done[0]["job"] is jobs[1]       # youngest deferred job
+    # the survivor's retry now succeeds (ref_count dropped to 1) and it
+    # runs to completion
+    for _ in range(64):
+        gen.iterate()
+        if jobs[0].status == "done":
+            break
+    assert jobs[0].status == "done"
+    assert jobs[0].eos_reason in ("max_new_tokens", "stop_token")

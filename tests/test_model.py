@@ -262,3 +262,42 @@ def test_merged_serving_weights_match():
     a, b = run(w), run(wm)
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_prescaled_weights_match():
+    """Precomputed bf16 group scales (ops/dequant.precompute_model_scales,
+    the BENCH_PRESCALE decode experiment): every linear — plain and
+    column-merged (src_cols smax expansion), fused kernel and unfused
+    fallback — matches the in-kernel sqrt decode within the one extra
+    bf16 scale rounding. (Model-level logits are NOT compared: a ~0.3%
+    per-weight rounding amplifies chaotically through untrained random
+    layers, unlike the bitwise-exact merged-weights transform above.)"""
+    import jax.numpy as jnp
+    from exllamav2_tpu.ops import qmm
+    from exllamav2_tpu.ops.dequant import (merge_serving_weights,
+                                           precompute_model_scales)
+    from exllamav2_tpu.utils.testing import random_model_weights
+
+    w, st = random_model_weights(
+        vocab=512, hidden=256, layers=1, heads=8, kv_heads=4,
+        inter=512, max_seq=64, bits=4, seed=9)
+    wp = precompute_model_scales(w)
+    assert wp.layers[0].attn.q.segments[0].scale_f is not None
+    # merged + prescaled composes (merged smax is per-source columns)
+    wmp = precompute_model_scales(merge_serving_weights(w))
+    assert wmp.layers[0].attn.qkv.segments[0].scale_f is not None
+
+    wm = merge_serving_weights(w)
+    pairs = [(w.layers[0].attn.q, wp.layers[0].attn.q),
+             (w.layers[0].attn.o, wp.layers[0].attn.o),
+             (w.layers[0].mlp.down, wp.layers[0].mlp.down),
+             (wm.layers[0].attn.qkv, wmp.layers[0].attn.qkv),
+             (wm.layers[0].mlp.gate_up, wmp.layers[0].mlp.gate_up)]
+    rng = np.random.default_rng(1)
+    for base, pre in pairs:
+        x = jnp.asarray(rng.standard_normal((1, base.k)), jnp.float32)
+        for fused in (True, False):
+            a = np.asarray(qmm.qmm(x, base, fused=fused))
+            b = np.asarray(qmm.qmm(x, pre, fused=fused))
+            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+            assert rel < 0.01, (fused, rel)

@@ -38,24 +38,35 @@ def _launch(mode: str, num_procs: int = 2, local_devices: int = 2):
     env.pop("PALLAS_AXON_POOL_IPS", None)    # workers never dial the TPU
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)               # worker sets its own count
-    procs = [
-        subprocess.Popen(
+    # temp files, not PIPEs: workers are drained sequentially, and an
+    # undrained worker that fills its pipe buffer would block inside a
+    # collective and deadlock the lockstep run until the timeout
+    import tempfile
+    files, procs = [], []
+    for i in range(num_procs):
+        fo = tempfile.TemporaryFile(mode="w+")
+        fe = tempfile.TemporaryFile(mode="w+")
+        files.append((fo, fe))
+        procs.append(subprocess.Popen(
             [sys.executable, WORKER, str(i), str(num_procs), str(port),
              str(local_devices), mode],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-            cwd=REPO, text=True)
-        for i in range(num_procs)
-    ]
+            stdout=fo, stderr=fe, env=env, cwd=REPO, text=True))
     outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+    try:
+        for p, (fo, fe) in zip(procs, files):
+            try:
+                p.wait(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            fo.seek(0), fe.seek(0)
+            out, err = fo.read(), fe.read()
+            assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    finally:
+        for fo, fe in files:
+            fo.close(), fe.close()
     return outs
 
 

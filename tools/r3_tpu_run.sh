@@ -21,3 +21,11 @@ timeout 1800 python -u bench.py 2>&1 | tail -6 | tee /tmp/bench_r3_base.log
 # 3. merged-stream A/B (headline only, faster)
 BENCH_MERGED=1 BENCH_NO_EXTRA=1 timeout 1200 python -u bench.py 2>&1 \
     | tail -3 | tee /tmp/bench_r3_merged.log
+
+# 4. precomputed-scales A/B (headline only)
+BENCH_PRESCALE=1 BENCH_NO_EXTRA=1 timeout 1200 python -u bench.py 2>&1 \
+    | tail -3 | tee /tmp/bench_r3_prescale.log
+
+# 5. both experiments together
+BENCH_MERGED=1 BENCH_PRESCALE=1 BENCH_NO_EXTRA=1 timeout 1200 \
+    python -u bench.py 2>&1 | tail -3 | tee /tmp/bench_r3_both.log
