@@ -449,6 +449,110 @@ class DynamicGenerator:
         for job in list(self.pending) + list(self.active):
             self.cancel(job)
 
+    def num_remaining_jobs(self) -> int:
+        """Jobs not yet finished (reference num_remaining_jobs)."""
+        return len(self.pending) + len(self.active)
+
+    def reset_page_table(self):
+        """Forget all cached pages (reference reset_page_table): clears
+        the dedup hash tables and returns every page to the free pool.
+        Only valid with no queued or active jobs."""
+        assert not self.active and not self.pending, \
+            "reset_page_table with jobs in flight"
+        for p in self.pages:
+            p.phash = None
+            p.prev_hash = None
+            p.ref_count = 0
+            p.kv_position = 0
+            p.tokens = None
+            p.access_serial = 0
+        self.free_pages = self.pages[1:][::-1]
+        self.referenced.clear()
+        self.unreferenced.clear()
+
+    def warmup(self):
+        """Prime the jit cache (reference warmup runs a dummy forward so
+        the first real request doesn't pay kernel autotune; the TPU
+        analog is the prefill/decode bucket compiles). Runs one tiny
+        greedy job end-to-end, then resets the page table so the dummy
+        tokens don't linger in the dedup cache."""
+        from exllamav2_tpu.generator.sampler import Settings
+        job = DynamicJob(np.asarray([1, 2, 3], np.int32),
+                         max_new_tokens=2, settings=Settings.greedy())
+        self.enqueue(job)
+        while job.status != "done":
+            self.iterate()
+        self.reset_page_table()
+
+    def set_loras(self, loras):
+        """Attach/detach PEFT adapters (reference set_loras): rebuilds
+        the weight pytree with LoraLinear wraps and clears the compiled
+        cache (one recompile per change, then zero per-step overhead).
+        Pass None or [] to detach all."""
+        from exllamav2_tpu.lora import apply_lora, remove_lora
+        if getattr(self, "_tp_fused", False) and loras:
+            raise NotImplementedError(
+                "LoRA is not supported on the fused TP path (its shard_map"
+                " program has a fixed weight structure); build the"
+                " generator single-chip or on a GSPMD mesh")
+        w = remove_lora(self.model.weights)
+        for lora in (loras or []):
+            w = apply_lora(w, lora)
+        self.model = type(self.model)(w, self.model.static,
+                                      self.model.config)
+        self._compiled.clear()
+
+    def print_page_list(self, short: bool = True):
+        """Debug dump of the page pool (reference print_page_list)."""
+        for p in self.pages:
+            state = ("null" if p.index == 0 else
+                     "free" if p.ref_count == 0 and p.phash is None else
+                     "unref" if p.ref_count == 0 else "ref")
+            if short:
+                print(f"{p.index}:{state}:{p.ref_count}", end=" ")
+            else:
+                h = p.phash.hex()[:8] if p.phash else "-"
+                print(f"page {p.index:4d} {state:5s} refs={p.ref_count} "
+                      f"kv={p.kv_position} hash={h}")
+        if short:
+            print()
+
+    def validate_cache(self):
+        """No-op in production (reference dynamic.py:750 keeps the hot
+        path clean); the real invariant checker is _validate_cache,
+        used by tests. (The reference's debug body lives under a
+        name-mangled ___validate_cache, dynamic.py:753 — here it gets a
+        callable single-underscore name instead.)"""
+
+    def _validate_cache(self):
+        """Page-table invariants (reference ___validate_cache spec):
+        free/unreferenced/referenced are disjoint, ref_counts equal the
+        number of active-job references, hashed tables are consistent."""
+        free = set(id(p) for p in self.free_pages)
+        unref = set(id(p) for p in self.unreferenced.values())
+        ref = set(id(p) for p in self.referenced.values())
+        assert not free & unref and not free & ref and not unref & ref, \
+            "page sets overlap"
+        counts: dict[int, int] = {}
+        for job in self.active:
+            for p in list(job.pages) + list(job.pages2):
+                counts[id(p)] = counts.get(id(p), 0) + 1
+        for p in self.pages:
+            if p.index == 0:
+                continue
+            held = counts.get(id(p), 0)
+            assert p.ref_count == held, \
+                f"page {p.index}: ref_count {p.ref_count} != held {held}"
+            if id(p) in free:
+                assert p.ref_count == 0, f"free page {p.index} referenced"
+            if id(p) in unref:
+                assert p.ref_count == 0 and p.phash is not None, \
+                    f"unreferenced page {p.index} inconsistent"
+        for h, p in self.referenced.items():
+            assert p.phash == h, "referenced hash key mismatch"
+        for h, p in self.unreferenced.items():
+            assert p.phash == h, "unreferenced hash key mismatch"
+
     def _release_job_pages(self, job: DynamicJob):
         for page in job.pages2:
             page.ref_count -= 1

@@ -33,15 +33,39 @@ def _gen(model, pages=32, max_batch=8, **kw):
 
 
 def test_single_job_greedy_matches_model(setup):
+    """Paged-generator decoding is dense-equivalent: per-step logits
+    stay within bf16-KV rounding noise of the dense forward, and every
+    greedy choice is either the dense argmax or a sub-tolerance tie.
+    (Exact text equality is brittle: the paged kernel's different
+    reduction order legitimately flips argmax ties narrower than a bf16
+    quantum — observed margin 0.0023 at logit magnitude ~2.2.)"""
     model = setup
     gen = _gen(model)
     prompt = "hello world"
     ids = ByteTokenizer(384).encode(prompt)
-    out = gen.generate(prompt, max_new_tokens=12,
-                       settings=Settings.greedy(), completion_only=True)
-    ref = model.generate_greedy(ids[None], 12, max_seq=256)
-    ref_text = ByteTokenizer(384).decode(ref[0, len(ids):])
-    assert out == ref_text
+    job = DynamicJob(ids, max_new_tokens=12, settings=Settings.greedy(),
+                     return_logits=True)
+    gen.enqueue(job)
+    toks, paged_logits = [], []
+    while job.status != "done":
+        for r in gen.iterate():
+            if r.get("logits") is not None:
+                paged_logits.append(
+                    np.asarray(r["logits"], np.float64).ravel())
+            if r.get("stage") == "streaming" and "token_ids" in r:
+                toks.extend(np.asarray(r["token_ids"]).ravel().tolist())
+    assert len(toks) == 12 and len(paged_logits) == 12
+    seq = ids.tolist()
+    for t, pl in zip(toks, paged_logits):
+        cache = model.new_cache(1, 256)
+        lg, _ = model.forward(np.asarray(seq, np.int32)[None], cache, 0,
+                              last_token_only=True)
+        lg = np.asarray(lg[0, -1], np.float64)
+        assert np.max(np.abs(pl[:lg.shape[0]] - lg)) < 0.05, \
+            "paged logits diverged beyond rounding noise"
+        assert lg.max() - lg[t] < 0.02, \
+            f"greedy chose {t}, {lg.max() - lg[t]:.4f} below dense argmax"
+        seq.append(int(t))
 
 
 def test_batch_jobs_match_single(setup):
@@ -212,3 +236,79 @@ def test_mutual_rewind_deferral_resolves(setup):
             break
     assert jobs[0].status == "done"
     assert jobs[0].eos_reason in ("max_new_tokens", "stop_token")
+
+
+def test_generator_api_parity_methods(setup):
+    """warmup / num_remaining_jobs / reset_page_table / validate_cache
+    (reference dynamic.py:483-833 API surface): the invariant checker
+    passes after every iterate() of a mixed dedup/eviction workload, and
+    reset_page_table drops all cached pages."""
+    model = setup
+    gen = _gen(model, pages=8, max_batch=4)
+    gen.warmup()                       # compiles + leaves no residue
+    assert len(gen.free_pages) == len(gen.pages) - 1
+    assert gen.num_remaining_jobs() == 0
+
+    # prompts long enough to FILL a 256-token page (ByteTokenizer is one
+    # token per byte), so the dedup hash chain actually engages
+    base = "shared prefix " * 24               # 336 chars > PAGE_SIZE
+    prompts = [base + "one", base + "two", "short"]
+    jobs = [gen.enqueue(DynamicJob(
+        ByteTokenizer(384).encode(p), max_new_tokens=8,
+        settings=Settings.greedy())) for p in prompts]
+    assert gen.num_remaining_jobs() == 3
+    guard = 0
+    while any(j.status != "done" for j in jobs):
+        gen.iterate()
+        gen._validate_cache()
+        guard += 1
+        assert guard < 1000
+    assert gen.num_remaining_jobs() == 0
+    assert gen.referenced or gen.unreferenced   # something got hashed
+    gen.reset_page_table()
+    assert not gen.referenced and not gen.unreferenced
+    assert len(gen.free_pages) == len(gen.pages) - 1
+    # generator still serves after the reset
+    out = gen.generate("after reset", max_new_tokens=4,
+                       settings=Settings.greedy())
+    assert isinstance(out, str)
+
+
+def test_set_loras_roundtrip(setup):
+    """set_loras attaches and detaches adapters on a live generator
+    (reference set_loras): output changes under the adapter and returns
+    to baseline after detaching."""
+    import json
+    import tempfile
+    from exllamav2_tpu.lora import Lora
+    from exllamav2_tpu.stloader import write_safetensors
+
+    model = setup
+    st = model.static
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    r = 4
+    tensors = {}
+    for l in range(st.num_layers):
+        p = f"base_model.model.model.layers.{l}.self_attn.q_proj"
+        tensors[f"{p}.lora_A.weight"] = \
+            rng.standard_normal((r, st.hidden_size)).astype(np.float32) * 2
+        tensors[f"{p}.lora_B.weight"] = \
+            rng.standard_normal((st.num_heads * st.head_dim, r)) \
+            .astype(np.float32) * 2
+    write_safetensors(f"{d}/adapter_model.safetensors", tensors)
+    with open(f"{d}/adapter_config.json", "w") as f:
+        json.dump({"r": r, "lora_alpha": 8,
+                   "target_modules": ["q_proj"]}, f)
+
+    gen = _gen(model)
+    base = gen.generate("lora test", max_new_tokens=8,
+                        settings=Settings.greedy())
+    gen.set_loras([Lora(d)])
+    adapted = gen.generate("lora test", max_new_tokens=8,
+                           settings=Settings.greedy())
+    gen.set_loras(None)
+    restored = gen.generate("lora test", max_new_tokens=8,
+                            settings=Settings.greedy())
+    assert adapted != base        # big random adapter must move greedy
+    assert restored == base
