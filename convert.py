@@ -21,6 +21,10 @@ def main():
     ap.add_argument("-r", "--rows", type=int, default=16)
     ap.add_argument("-l", "--length", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-ss", "--output_shard_size", type=float, default=8192,
+                    help="split output above this many MB into numbered "
+                         "safetensors shards + index (reference -ss; "
+                         "0 = single file)")
     args = ap.parse_args()
 
     # pipeline handles .txt / .parquet paths directly
@@ -29,7 +33,8 @@ def main():
     from exllamav2_tpu.convert.pipeline import convert_model
     convert_model(args.in_dir, args.out_dir, bits=args.bits,
                   head_bits=args.head_bits, cal_rows=args.rows,
-                  cal_len=args.length, cal_text=text, seed=args.seed)
+                  cal_len=args.length, cal_text=text, seed=args.seed,
+                  shard_size_mb=args.output_shard_size)
 
 
 if __name__ == "__main__":
