@@ -63,9 +63,16 @@ def main():
     def left():
         return budget - (time.perf_counter() - t_start)
 
-    w, st = random_model_weights(
-        vocab=32000, hidden=4096, layers=32, heads=32, kv_heads=32,
-        inter=11008, max_seq=max_seq, bits=4, seed=0)
+    if os.environ.get("BENCH_GEOM") == "tiny":
+        # CPU smoke-test geometry: exercises every bench leg (incl. the
+        # A/B weight transforms) without 7B-sized compiles
+        w, st = random_model_weights(
+            vocab=512, hidden=256, layers=2, heads=4, kv_heads=4,
+            inter=512, max_seq=max_seq, bits=4, seed=0)
+    else:
+        w, st = random_model_weights(
+            vocab=32000, hidden=4096, layers=32, heads=32, kv_heads=32,
+            inter=11008, max_seq=max_seq, bits=4, seed=0)
     if os.environ.get("BENCH_MERGED") == "1":
         # opt-in decode experiment: merged qkv / gate+up streams
         # (7 -> 4 kernel calls per layer; ops/dequant.merge_serving_weights)
@@ -170,6 +177,54 @@ def main():
         except Exception as e:                      # never lose the record
             _EXTRA["serving_error"] = type(e).__name__
             _emit()
+
+    # ---- decode-push A/B legs, in-process so the record is driver-
+    # captured even when no interactive TPU session is available:
+    # merged q|k|v / gate|up streams and precomputed bf16 scales
+    # (ops/dequant; VERDICT r2 item 3a/3b). Each leg pays one fresh
+    # compile; gated on remaining budget and skippable via BENCH_AB=0.
+    if os.environ.get("BENCH_AB", "1") != "1":
+        return
+    if (os.environ.get("BENCH_MERGED") == "1"
+            or os.environ.get("BENCH_PRESCALE") == "1"):
+        return                                      # w already transformed
+    ab_steps = max(32, steps // 2)
+
+    def _ab_leg(name, make_weights):
+        try:
+            wv = make_weights()
+            cache_a = KVCache.alloc(st.num_layers, 1, max_seq,
+                                    st.num_kv_heads, st.head_dim)
+            tok = jnp.ones((1, 1), jnp.int32)
+            for i in range(3):
+                p = prefill + i
+                tok, cache_a = decode(wv, tok, cache_a, jnp.int32(p),
+                                      limit(p + 1))
+            np.asarray(tok)
+            t0 = time.perf_counter()
+            for i in range(ab_steps):
+                p = prefill + 3 + i
+                tok, cache_a = decode(wv, tok, cache_a, jnp.int32(p),
+                                      limit(p + 1))
+            np.asarray(tok)
+            _EXTRA[name] = round(ab_steps / (time.perf_counter() - t0), 2)
+            del cache_a, wv
+        except Exception as e:                      # never lose the record
+            _EXTRA[name + "_error"] = type(e).__name__
+        _emit()
+
+    if left() > 120:
+        from exllamav2_tpu.ops.dequant import merge_serving_weights
+        _ab_leg("merged_tokens_per_s", lambda: merge_serving_weights(w))
+    if left() > 120:
+        from exllamav2_tpu.ops.dequant import precompute_model_scales
+        _ab_leg("prescale_tokens_per_s",
+                lambda: precompute_model_scales(w))
+    if left() > 120:
+        from exllamav2_tpu.ops.dequant import (merge_serving_weights,
+                                               precompute_model_scales)
+        _ab_leg("merged_prescale_tokens_per_s",
+                lambda: precompute_model_scales(merge_serving_weights(w)))
 
 
 def _bench_serving(w, st, n_jobs=8, prompt_len=128, gen_len=32):
