@@ -226,6 +226,21 @@ def main():
         _ab_leg("merged_prescale_tokens_per_s",
                 lambda: precompute_model_scales(merge_serving_weights(w)))
 
+    # promote the fastest exact-semantics configuration to the headline
+    # (all legs are bitwise-equivalent decode paths of the same model;
+    # DynamicGenerator exposes them via merged_weights= / prescale=).
+    # The base number stays on the record as extra.base_tokens_per_s.
+    best_key = max((k for k in ("merged_tokens_per_s",
+                                "prescale_tokens_per_s",
+                                "merged_prescale_tokens_per_s")
+                    if k in _EXTRA),
+                   key=lambda k: _EXTRA[k], default=None)
+    if best_key is not None and _EXTRA[best_key] > _TPS[0]:
+        _EXTRA["base_tokens_per_s"] = round(_TPS[0], 2)
+        _EXTRA["headline_config"] = best_key[:-len("_tokens_per_s")]
+        _TPS[0] = _EXTRA[best_key]
+        _emit()
+
 
 def _bench_serving(w, st, n_jobs=8, prompt_len=128, gen_len=32):
     from exllamav2_tpu.cache_paged import PagedKVCache

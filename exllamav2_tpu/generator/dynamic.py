@@ -190,7 +190,8 @@ class DynamicGenerator:
                  draft_model=None, draft_cache: PagedKVCache | None = None,
                  num_draft_tokens: int = 4, use_ngram_draft: bool = False,
                  max_ngram: int = 4, mesh=None,
-                 merged_weights: bool = False):
+                 merged_weights: bool = False,
+                 prescale: bool = False):
         # multi-chip serving: shard weights (TP splits) + paged cache
         # (kv-head split) over the mesh. Two modes:
         #   * fused (preferred): the whole forward runs under shard_map —
@@ -212,6 +213,14 @@ class DynamicGenerator:
             from exllamav2_tpu.models.model import Model as _Model
             from exllamav2_tpu.ops.dequant import merge_serving_weights
             model = _Model(merge_serving_weights(model.weights),
+                           model.static, model.config)
+        if prescale and mesh is None:
+            # stream load-time-decoded bf16 group scales instead of the
+            # in-kernel sqrt decode (+6% weight bytes, fewer VPU ops;
+            # exact — the decode is the same arithmetic done once)
+            from exllamav2_tpu.models.model import Model as _Model
+            from exllamav2_tpu.ops.dequant import precompute_model_scales
+            model = _Model(precompute_model_scales(model.weights),
                            model.static, model.config)
         if mesh is not None:
             import dataclasses as _dc

@@ -238,6 +238,20 @@ def test_mutual_rewind_deferral_resolves(setup):
     assert jobs[0].eos_reason in ("max_new_tokens", "stop_token")
 
 
+def test_merged_prescale_generator_equivalence(setup):
+    """DynamicGenerator(merged_weights=True, prescale=True) — the
+    single-chip decode fast path (merged q|k|v / gate|up streams +
+    load-time-decoded bf16 scales) — generates identically to the plain
+    generator (both transforms are exact; ops/dequant)."""
+    model = setup
+    prompt = "equivalence check"
+    base = _gen(model).generate(prompt, max_new_tokens=8,
+                                settings=Settings.greedy())
+    fast = _gen(model, merged_weights=True, prescale=True).generate(
+        prompt, max_new_tokens=8, settings=Settings.greedy())
+    assert fast == base
+
+
 def test_generator_api_parity_methods(setup):
     """warmup / num_remaining_jobs / reset_page_table / validate_cache
     (reference dynamic.py:483-833 API surface): the invariant checker
