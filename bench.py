@@ -29,16 +29,25 @@ import jax.numpy as jnp
 
 BASELINE_TPS = 211.0   # Llama2-7B EXL2 4.0bpw on RTX 4090
 
+# reference README.md:65-75 4090 rows for the sweep geometries
+# (13b row is the GPTQ gs128 number — the closest published 13B figure)
+_SWEEP_BASELINES = {
+    ("7b", 3): 257.0, ("7b", 4): 211.0, ("7b", 5): 179.0,
+    ("1b", 3): 700.0, ("1b", 4): 602.0, ("13b", 4): 114.0,
+}
+
 _TPS = [0.0]
 _EXTRA = {}
+_METRIC = ["decode_tokens_per_s_7b_exl2_4bpw"]
+_BASE = [BASELINE_TPS]
 
 
 def _emit():
     out = {
-        "metric": "decode_tokens_per_s_7b_exl2_4bpw",
+        "metric": _METRIC[0],
         "value": round(_TPS[0], 2),
         "unit": "tokens/s",
-        "vs_baseline": round(_TPS[0] / BASELINE_TPS, 4),
+        "vs_baseline": round(_TPS[0] / _BASE[0], 4),
     }
     if _EXTRA:
         out["extra"] = dict(_EXTRA)
@@ -63,16 +72,26 @@ def main():
     def left():
         return budget - (time.perf_counter() - t_start)
 
-    if os.environ.get("BENCH_GEOM") == "tiny":
-        # CPU smoke-test geometry: exercises every bench leg (incl. the
-        # A/B weight transforms) without 7B-sized compiles
-        w, st = random_model_weights(
-            vocab=512, hidden=256, layers=2, heads=4, kv_heads=4,
-            inter=512, max_seq=max_seq, bits=4, seed=0)
-    else:
-        w, st = random_model_weights(
-            vocab=32000, hidden=4096, layers=32, heads=32, kv_heads=32,
-            inter=11008, max_seq=max_seq, bits=4, seed=0)
+    bits = int(os.environ.get("BENCH_BITS", 4))   # reference table: 3/4/5
+    geom = os.environ.get("BENCH_GEOM", "7b")
+    GEOMS = {
+        # reference README.md:65-75 model rows (geometry-equivalent)
+        "tiny": dict(vocab=512, hidden=256, layers=2, heads=4,
+                     kv_heads=4, inter=512),       # CPU smoke only
+        "1b": dict(vocab=32000, hidden=2048, layers=22, heads=32,
+                   kv_heads=4, inter=5632),        # TinyLlama 1.1B
+        "7b": dict(vocab=32000, hidden=4096, layers=32, heads=32,
+                   kv_heads=32, inter=11008),      # Llama2 7B
+        "13b": dict(vocab=32000, hidden=5120, layers=40, heads=40,
+                    kv_heads=40, inter=13824),     # Llama2 13B
+    }
+    w, st = random_model_weights(
+        max_seq=max_seq, bits=bits, seed=0, **GEOMS[geom])
+    if geom != "7b" or bits != 4:
+        # off-headline sweep row: label the metric accordingly and pin
+        # vs_baseline to the matching published reference number
+        _METRIC[0] = f"decode_tokens_per_s_{geom}_exl2_{bits}bpw"
+        _BASE[0] = _SWEEP_BASELINES.get((geom, bits), BASELINE_TPS)
     if os.environ.get("BENCH_MERGED") == "1":
         # opt-in decode experiment: merged qkv / gate+up streams
         # (7 -> 4 kernel calls per layer; ops/dequant.merge_serving_weights)
