@@ -35,6 +35,8 @@ _SWEEP_BASELINES = {
     ("7b", 3): 257.0, ("7b", 4): 211.0, ("7b", 5): 179.0,
     ("1b", 3): 700.0, ("1b", 4): 602.0, ("13b", 4): 114.0,
 }
+# GPTQ gs128 4-bit rows (reference README.md:65-68, 4090 column)
+_GPTQ_BASELINES = {"7b": 205.0, "13b": 114.0, "1b": 296.0}
 
 _TPS = [0.0]
 _EXTRA = {}
@@ -85,9 +87,13 @@ def main():
         "13b": dict(vocab=32000, hidden=5120, layers=40, heads=40,
                     kv_heads=40, inter=13824),     # Llama2 13B
     }
+    fmt = os.environ.get("BENCH_FORMAT", "exl2")   # exl2 | gptq (gs128)
     w, st = random_model_weights(
-        max_seq=max_seq, bits=bits, seed=0, **GEOMS[geom])
-    if geom != "7b" or bits != 4:
+        max_seq=max_seq, bits=bits, seed=0, fmt=fmt, **GEOMS[geom])
+    if fmt == "gptq":
+        _METRIC[0] = f"decode_tokens_per_s_{geom}_gptq_{bits}bit_gs128"
+        _BASE[0] = _GPTQ_BASELINES.get(geom, BASELINE_TPS)
+    elif geom != "7b" or bits != 4:
         # off-headline sweep row: label the metric accordingly and pin
         # vs_baseline to the matching published reference number
         _METRIC[0] = f"decode_tokens_per_s_{geom}_exl2_{bits}bpw"

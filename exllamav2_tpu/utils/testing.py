@@ -50,9 +50,36 @@ def random_quant_linear(rng, k: int, n: int, bits: int = 4,
                        k=k, n=n, n_orig=n)
 
 
+def random_gptq_linear(rng, k: int, n: int, bits: int = 4,
+                       group_rows: int = 128, scale_mag: float = 3e-3):
+    """GPTQ-layout analog of random_quant_linear: random packed planes +
+    explicit per-group f32 scales / int zeros, synthesized on device
+    (same compute/memory profile as a real gs128 GPTQ checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    from exllamav2_tpu.quant.qtensor import (
+        QuantLinear, GptqSegment, SUB_BLOCK, plane_split)
+    rows_pad = -(-k // SUB_BLOCK) * SUB_BLOCK
+    key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
+    ks = list(jax.random.split(key, len(plane_split(bits)) + 2))
+    planes = tuple(
+        jax.random.bits(ks[i], (rows_pad * bp // 32, n), jnp.uint32)
+        for i, bp in enumerate(plane_split(bits)))
+    groups = rows_pad // group_rows
+    scale = (jax.random.uniform(ks[-2], (groups, n), jnp.float32)
+             * scale_mag + scale_mag / 4)
+    zero = jax.random.randint(ks[-1], (groups, n), 0, 2 ** bits, jnp.int32)
+    seg = GptqSegment(planes=planes, scale=scale, zero=zero, bits=bits,
+                      plane_bits=plane_split(bits), rows=k,
+                      group_rows=group_rows)
+    return QuantLinear(segments=(seg,), perm=None, bias=None,
+                       k=k, n=n, n_orig=n)
+
+
 def random_model_weights(*, vocab=32000, hidden=4096, layers=32, heads=32,
                          kv_heads=32, inter=11008, max_seq=2048, bits=4,
-                         seed=0, dense=False, moe=0, moe_topk=2):
+                         seed=0, dense=False, moe=0, moe_topk=2,
+                         fmt="exl2"):
     """In-memory random model (ModelWeights, StaticModel) of real geometry.
     moe > 0 makes every layer a block-sparse MoE with that many experts."""
     import jax.numpy as jnp
@@ -69,6 +96,8 @@ def random_model_weights(*, vocab=32000, hidden=4096, layers=32, heads=32,
         if dense:
             return from_dense(
                 (rng.standard_normal((k, n)) * 0.02).astype(np.float32))
+        if fmt == "gptq":
+            return random_gptq_linear(rng, k, n, bits=bits)
         return random_quant_linear(rng, k, n, bits=bits)
 
     def norm():

@@ -1,0 +1,52 @@
+"""Tie-aware greedy serving equivalence, shared by sharding/VLM tests.
+
+Exact text equality between a fused-TP mesh run and the single-chip run
+is brittle: the per-shard paged decode kernels differ from the
+single-chip kernel by bf16-KV rounding (~0.05 in logits), which flips
+argmax ties narrower than that (measured 0.0004 top-2 margins on the
+synthetic fixtures), after which the histories legitimately diverge.
+Teacher-forced prefill logits of the two paths are exactly equal — so
+the robust serving assertion is: while both runs share the same emitted
+context, per-step logits agree within TOL, and the first diverging
+token (if any) must be a sub-tolerance argmax tie on both sides.
+"""
+
+import numpy as np
+
+from exllamav2_tpu.generator.dynamic import DynamicJob
+from exllamav2_tpu.generator.sampler import Settings
+
+TOL = 0.2      # decode-path bf16-KV rounding envelope (measured ~0.07)
+
+
+def greedy_logits_run(gen, ids, n, embeddings=None):
+    """Run one greedy job; return (token ids, per-step f64 logits)."""
+    job = DynamicJob(np.asarray(ids, np.int32), max_new_tokens=n,
+                     settings=Settings.greedy(), return_logits=True,
+                     embeddings=embeddings)
+    gen.enqueue(job)
+    toks, lgs = [], []
+    while job.status != "done":
+        for r in gen.iterate():
+            if r.get("logits") is not None:
+                lgs.append(np.asarray(r["logits"], np.float64).ravel())
+            if r.get("stage") == "streaming" and "token_ids" in r:
+                toks.extend(np.asarray(r["token_ids"]).ravel().tolist())
+    return toks, lgs
+
+
+def assert_tie_aware_equiv(run_a, run_b, tol=TOL):
+    (t1, l1), (t2, l2) = run_a, run_b
+    assert len(t1) == len(t2) and len(t1) == len(l1) and len(t2) == len(l2)
+    matched = 0
+    for la, lb, x, y in zip(l1, l2, t1, t2):
+        if x == y:
+            assert np.abs(la - lb).max() < tol, \
+                f"logits diverged {np.abs(la - lb).max():.4f} on shared context"
+            matched += 1
+        else:
+            # first divergence: must be a sub-tolerance tie on BOTH sides
+            assert la[x] - la[y] < tol and lb[y] - lb[x] < tol, \
+                (x, y, la[x] - la[y], lb[y] - lb[x])
+            break
+    assert matched >= 1, "paths never agreed on a common prefix"

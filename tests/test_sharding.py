@@ -249,39 +249,14 @@ def test_tp_fused_act_order_mixed_bitrate_serving(cpu_devices):
                                   model.static.num_kv_heads,
                                   model.static.head_dim, "bf16")
 
-    def run(mesh=None):
-        gen = DynamicGenerator(model, cache(), tk, mesh=mesh)
-        if mesh is not None:
-            assert gen._tp_fused      # converter output must take fused
-        job = DynamicJob(tk.encode("hello world"), max_new_tokens=6,
-                         settings=Settings.greedy(), return_logits=True)
-        gen.enqueue(job)
-        toks, lgs = [], []
-        while job.status != "done":
-            for r in gen.iterate():
-                if r.get("logits") is not None:
-                    lgs.append(np.asarray(r["logits"], np.float64).ravel())
-                if r.get("stage") == "streaming" and "token_ids" in r:
-                    toks.extend(np.asarray(r["token_ids"]).ravel().tolist())
-        return toks, lgs
+    from tests.equiv import assert_tie_aware_equiv, greedy_logits_run
 
-    t1, l1 = run()
+    ids = tk.encode("hello world")
+    plain = greedy_logits_run(DynamicGenerator(model, cache(), tk), ids, 6)
     mesh = make_mesh(tp, dp=1, devices=cpu_devices[:tp])
-    t2, l2 = run(mesh)
-    assert len(t1) == len(t2) == 6
-    TOL = 0.2      # decode-path bf16-KV rounding envelope (measured ~0.07)
-    matched = 0
-    for a, b, x, y in zip(l1, l2, t1, t2):
-        if x == y:
-            assert np.abs(a - b).max() < TOL, \
-                f"fused logits diverged {np.abs(a - b).max():.4f}"
-            matched += 1
-        else:
-            # first divergence: must be a sub-tolerance tie on BOTH sides
-            assert a[x] - a[y] < TOL and b[y] - b[x] < TOL, \
-                (x, y, a[x] - a[y], b[y] - b[x])
-            break
-    assert matched >= 1      # the paths agreed on a common prefix
+    gen = DynamicGenerator(model, cache(), tk, mesh=mesh)
+    assert gen._tp_fused          # converter output must take fused
+    assert_tie_aware_equiv(plain, greedy_logits_run(gen, ids, 6))
 
 
 def test_tp_fused_quantized_cache_serving(cpu_devices):

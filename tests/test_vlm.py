@@ -292,15 +292,16 @@ def test_pixtral_fused_tp_serving(pixtral_setup):
             model.static.num_layers, 32, model.static.num_kv_heads,
             model.static.head_dim, "bf16")
 
-    plain = DynamicGenerator(model, cache(), tok).generate(
-        "look <img> here", max_new_tokens=6, settings=Settings.greedy(),
-        embeddings=[mme])
+    from tests.equiv import assert_tie_aware_equiv, greedy_logits_run
+
+    gen0 = DynamicGenerator(model, cache(), tok)
+    ids = gen0.encode_with_embeddings("look <img> here", [mme])
+    plain = greedy_logits_run(gen0, ids, 6, embeddings=[mme])
     mesh = make_mesh(2, dp=1, devices=cpu[:2])
     gen = DynamicGenerator(model, cache(), tok, mesh=mesh)
     assert gen._tp_fused       # MM archs are no longer excluded
-    sharded = gen.generate("look <img> here", max_new_tokens=6,
-                           settings=Settings.greedy(), embeddings=[mme])
-    assert sharded == plain, (sharded, plain)
+    sharded = greedy_logits_run(gen, ids, 6, embeddings=[mme])
+    assert_tie_aware_equiv(plain, sharded)
 
 
 def test_qwen2vl_fused_tp_serving_mrope(qwen2vl_setup):
@@ -324,12 +325,13 @@ def test_qwen2vl_fused_tp_serving_mrope(qwen2vl_setup):
             model.static.num_layers, 32, model.static.num_kv_heads,
             model.static.head_dim, "bf16")
 
-    plain = DynamicGenerator(model, cache(), tok).generate(
-        "scene <img> is", max_new_tokens=6, settings=Settings.greedy(),
-        embeddings=[mme])
+    from tests.equiv import assert_tie_aware_equiv, greedy_logits_run
+
+    gen0 = DynamicGenerator(model, cache(), tok)
+    ids = gen0.encode_with_embeddings("scene <img> is", [mme])
+    plain = greedy_logits_run(gen0, ids, 6, embeddings=[mme])
     mesh = make_mesh(2, dp=1, devices=cpu[:2])
     gen = DynamicGenerator(model, cache(), tok, mesh=mesh)
     assert gen._tp_fused
-    sharded = gen.generate("scene <img> is", max_new_tokens=6,
-                           settings=Settings.greedy(), embeddings=[mme])
-    assert sharded == plain, (sharded, plain)
+    sharded = greedy_logits_run(gen, ids, 6, embeddings=[mme])
+    assert_tie_aware_equiv(plain, sharded)
