@@ -23,6 +23,9 @@ def add_args(parser: argparse.ArgumentParser):
     parser.add_argument("-cq6", "--cache_q6", action="store_true")
     parser.add_argument("-cq8", "--cache_q8", action="store_true")
     parser.add_argument("-c8", "--cache_8bit", action="store_true")
+    parser.add_argument("-tp", "--tensor_parallel", type=int, default=0,
+                        help="shard serving over this many chips "
+                             "(reference -tp; 0 = single chip, -1 = all)")
 
 
 def cache_kind(args) -> str:
@@ -43,7 +46,15 @@ def init(args, max_batch_size: int = 8, draft_model_dir: str | None = None,
     """-> (model, tokenizer, generator) like model_init.init().
 
     draft_model_dir / use_ngram_draft enable speculative decoding
-    (reference chat.py -dm / -ngram); mesh shards the serving stack."""
+    (reference chat.py -dm / -ngram); mesh shards the serving stack
+    (built automatically from -tp when not passed explicitly)."""
+    tp = getattr(args, "tensor_parallel", 0)
+    if mesh is None and tp:
+        import jax
+        from exllamav2_tpu.parallel.sharding import make_mesh
+        n = len(jax.devices()) if tp < 0 else tp
+        if n > 1:
+            mesh = make_mesh(n, dp=1)
     model = Model.from_dir(args.model_dir)
     tokenizer = load_tokenizer(args.model_dir)
     max_len = args.length or model.config.max_seq_len
