@@ -241,6 +241,57 @@ def test_mutual_rewind_deferral_resolves(setup):
     assert jobs[0].eos_reason in ("max_new_tokens", "stop_token")
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_scheduler_fuzz_invariants(setup, seed):
+    """Randomized scheduler workload (mixed prompt lengths incl. dedup-
+    able shared prefixes, stop conditions, banned strings, mid-flight
+    cancellations) with the page-table invariant checker run after EVERY
+    iterate — the property-test formulation of the reference's
+    ___validate_cache spec (dynamic.py:753-813; SURVEY §4)."""
+    model = setup
+    gen = _gen(model, pages=12, max_batch=4)
+    tk = ByteTokenizer(384)
+    rng = np.random.default_rng(seed)
+    words = ["alpha ", "beta ", "gamma ", "delta "]
+    common = "shared prefix " * 20                   # dedup fodder
+    jobs = []
+    for i in range(12):
+        plen = int(rng.integers(4, 600))
+        body = "".join(rng.choice(words, 120))
+        prompt = (common + body if rng.random() < 0.5 else body)[:plen] \
+            or "x"
+        kw = {}
+        if rng.random() < 0.3:
+            kw["stop_conditions"] = ["ga"]
+        if rng.random() < 0.2:
+            kw["banned_strings"] = ["be", "lph"]
+        jobs.append(DynamicJob(tk.encode(prompt),
+                               max_new_tokens=int(rng.integers(1, 24)),
+                               settings=Settings.greedy(), **kw))
+    queue = list(jobs)
+    guard = 0
+    while queue or gen.num_remaining_jobs():
+        # trickle jobs in (keeps pending + active mixed)
+        while queue and gen.num_remaining_jobs() < 6:
+            gen.enqueue(queue.pop(0))
+        gen.iterate()
+        gen._validate_cache()
+        if rng.random() < 0.05 and gen.active:
+            gen.cancel(gen.active[int(rng.integers(len(gen.active)))])
+            gen._validate_cache()
+        guard += 1
+        assert guard < 3000, "fuzz workload did not converge"
+    done = [j for j in jobs if j.status == "done"]
+    assert len(done) == len(jobs)
+    for j in done:
+        assert j.eos_reason in ("max_new_tokens", "stop_token",
+                                "stop_string", "cancelled",
+                                "rewind_page_starvation"), j.eos_reason
+    # pool fully reclaimed
+    assert len(gen.free_pages) + len(gen.unreferenced) \
+        == len(gen.pages) - 1
+
+
 def test_merged_prescale_generator_equivalence(setup):
     """DynamicGenerator(merged_weights=True, prescale=True) — the
     single-chip decode fast path (merged q|k|v / gate|up streams +
