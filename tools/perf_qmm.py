@@ -34,8 +34,8 @@ SHAPES = [  # (K, N) of Llama2-7B linears
     (11008, 4096),
 ]
 M = 8
-BITS = 4
-GR = 32
+BITS = int(os.environ.get("QMM_BITS", 4))
+GR = int(os.environ.get("QMM_GROUP", 32))   # 128 = GPTQ-gs128 probe
 
 
 def _report(name, per_shape):

@@ -29,3 +29,17 @@ BENCH_PRESCALE=1 BENCH_NO_EXTRA=1 timeout 1200 python -u bench.py 2>&1 \
 # 5. both experiments together
 BENCH_MERGED=1 BENCH_PRESCALE=1 BENCH_NO_EXTRA=1 timeout 1200 \
     python -u bench.py 2>&1 | tail -3 | tee /tmp/bench_r3_both.log
+
+# 6. GPTQ gs128 headline (reference README.md:65 rows)
+BENCH_FORMAT=gptq BENCH_NO_EXTRA=1 timeout 1200 python -u bench.py \
+    2>&1 | tail -3 | tee /tmp/bench_r3_gptq.log
+
+# 7. full published-table sweep (7B 3/4/5bpw, 1B, 13B, GPTQ)
+timeout 5400 python -u tools/bench_matrix.py 2>&1 \
+    | tee /tmp/bench_r3_matrix.log
+
+# 8. gs128 partial-scaled int8-dot roofline probe (perf_qmm): if the
+#    batched per-group dot at K=128 clears ~600 GB/s, a GPTQ-gs128
+#    decode kernel variant can beat the 400 GB/s VPU-scale bound
+QMM_GROUP=128 timeout 1800 python -u tools/perf_qmm.py 2>&1 | tail -24 \
+    | tee /tmp/perf_gs128.log
