@@ -134,8 +134,98 @@ def _dequant_block(refs, seg, n_tile: int, k_tile: int) -> jax.Array:
     return w.astype(jnp.bfloat16)
 
 
+def _partials_gptq_matmul(x: jax.Array, seg: GptqSegment) -> jax.Array:
+    """Scales-on-partials GPTQ kernel (gs>=128 decode experiment).
+
+    Exact reformulation: y = sum_g s_g * (x_g @ v_g - z_g * sum(x_g)) —
+    the per-VALUE (sub, convert, mul) chain of _dequant_block collapses
+    to ONE i32->bf16 convert per value; scale/zero application moves to
+    the [m, n_tile] group partials (gt*m*nt ops, ~GR x fewer). At gs128
+    each group dot is a full K=128 MXU pass, so this variant trades the
+    VPU bound (~400 GB/s measured, docs/DESIGN.md) for MXU pass count.
+    Env-gated (QMM_PARTIALS=1) pending TPU measurement —
+    tools/r3_tpu_run.sh leg 8 probes the roofline."""
+    m_pad, k_pad = x.shape
+    rows_pad = seg.rows_pad
+    assert k_pad == rows_pad, (k_pad, rows_pad)
+    n = seg.planes[0].shape[1]
+    gr = seg.group_rows
+    k_tile, n_tile = _pick_tiles(rows_pad, n, seg.bits, gr, m_pad)
+    gt = k_tile // gr
+    grid = (n // n_tile, rows_pad // k_tile)
+
+    def kernel(x_ref, *refs):
+        o_ref = refs[-1]
+        scale_ref, zero_ref = refs[-3], refs[-2]
+        plane_refs = refs[:-3]
+        vals = D.unpack_planes([r[:] for r in plane_refs], seg.plane_bits)
+        wb = vals.astype(jnp.bfloat16)              # [kt, nt]
+        xb = x_ref[:]                               # [m_pad, kt]
+        s = scale_ref[:]                            # [gt, nt] f32
+        z = zero_ref[:].astype(jnp.float32)         # [gt, nt]
+        acc = None
+        for g in range(gt):                         # static unroll
+            xg = xb[:, g * gr:(g + 1) * gr]
+            wg = wb[g * gr:(g + 1) * gr, :]
+            pg = jnp.dot(xg, wg, preferred_element_type=jnp.float32)
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            term = (pg - xs * z[g:g + 1, :]) * s[g:g + 1, :]
+            acc = term if acc is None else acc + term
+        k_step = pl.program_id(1)
+
+        @pl.when(k_step == 0)
+        def _():
+            o_ref[:] = acc
+
+        @pl.when(k_step != 0)
+        def _():
+            o_ref[:] = o_ref[:] + acc
+
+    plane_specs = [
+        pl.BlockSpec((k_tile * bp // 32, n_tile), lambda i, j: (j, i),
+                     memory_space=pltpu.VMEM)
+        for bp in seg.plane_bits
+    ]
+    meta_specs = [
+        pl.BlockSpec((gt, n_tile), lambda i, j: (j, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gt, n_tile), lambda i, j: (j, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    qbytes = sum(p.size * 4 for p in seg.planes)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, k_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            *plane_specs,
+            *meta_specs,
+        ],
+        out_specs=pl.BlockSpec((m_pad, n_tile), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * rows_pad * n,
+            bytes_accessed=qbytes + x.size * 2 + m_pad * n * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, *seg.planes, seg.scale, seg.zero)
+
+
+def _use_partials(seg) -> bool:
+    import os
+    return (isinstance(seg, GptqSegment) and seg.group_rows >= 128
+            and seg.rows_pad % seg.group_rows == 0
+            and os.environ.get("QMM_PARTIALS") == "1")
+
+
 def _fused_segment_matmul(x: jax.Array, seg) -> jax.Array:
     """x [M_pad, rows_pad] bf16 (zero-padded) @ dequant(seg) -> [M_pad, N] f32."""
+    if _use_partials(seg):
+        return _partials_gptq_matmul(x, seg)
     m_pad, k_pad = x.shape
     rows_pad = seg.rows_pad
     assert k_pad == rows_pad, (k_pad, rows_pad)

@@ -76,6 +76,28 @@ def test_qmm_gptq(fused):
     np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
 
 
+def test_qmm_gptq_partials_gs128(monkeypatch):
+    """QMM_PARTIALS=1 scales-on-partials kernel (gs>=128 decode
+    experiment, ops/qmm._partials_gptq_matmul): exact reformulation
+    y = sum_g s_g * (x_g @ v_g - z_g * sum(x_g)) matches the golden
+    dequant matmul."""
+    monkeypatch.setenv("QMM_PARTIALS", "1")
+    rng = np.random.default_rng(5)
+    k, n, gs = 512, 256, 128
+    g = k // gs
+    qv = rng.integers(0, 16, size=(k, n)).astype(np.uint16)
+    zeros = rng.integers(0, 16, size=(g, n)).astype(np.uint16)
+    scales = rng.random((g, n)).astype(np.float32) * 0.02 + 0.001
+    t = F.gptq_pack(qv, zeros, scales, bits=4)
+    golden_w = F.gptq_dequantize(t)
+    ql = Q.from_gptq(t)
+    assert M._use_partials(ql.segments[0])
+    x = rng.standard_normal((2, k)).astype(np.float32) * 0.1
+    expect = x @ golden_w
+    got = np.asarray(M.qmm(jnp.asarray(x), ql, fused=True))[:, :n]
+    np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
+
+
 def test_qmm_nonpadded_k():
     """Segment rows not a multiple of SEG_K_PAD exercise the zero padding."""
     rng = np.random.default_rng(3)

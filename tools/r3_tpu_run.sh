@@ -38,6 +38,11 @@ BENCH_FORMAT=gptq BENCH_NO_EXTRA=1 timeout 1200 python -u bench.py \
 timeout 5400 python -u tools/bench_matrix.py 2>&1 \
     | tee /tmp/bench_r3_matrix.log
 
+# 7b. scales-on-partials GPTQ kernel A/B (exact; tests/test_qmm.py
+#     gs128 golden) — expected to clear the VPU-scale bound at gs128
+QMM_PARTIALS=1 BENCH_FORMAT=gptq BENCH_NO_EXTRA=1 timeout 1200 \
+    python -u bench.py 2>&1 | tail -3 | tee /tmp/bench_r3_partials.log
+
 # 8. gs128 partial-scaled int8-dot roofline probe (perf_qmm): if the
 #    batched per-group dot at K=128 clears ~600 GB/s, a GPTQ-gs128
 #    decode kernel variant can beat the 400 GB/s VPU-scale bound
