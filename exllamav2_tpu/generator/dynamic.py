@@ -206,6 +206,7 @@ class DynamicGenerator:
         #     MRoPE rows ride along as replicated operands).
         self.mesh = mesh
         self._tp_fused = False
+        self._merged_weights = bool(merged_weights and mesh is None)
         self._fwd_last = self._fwd_full = None
         if merged_weights and mesh is None:
             # single-chip decode fast path: merged q|k|v and gate|up
@@ -505,6 +506,15 @@ class DynamicGenerator:
                 " program has a fixed weight structure); build the"
                 " generator single-chip or on a GSPMD mesh")
         w = remove_lora(self.model.weights)
+        if loras:
+            # merged qkv/gate_up streams would bypass the wrapped q/k/v
+            # (the forward prefers them) — drop them while adapters are
+            # attached, re-merge when detached
+            from exllamav2_tpu.ops.dequant import strip_merged_weights
+            w = strip_merged_weights(w)
+        elif getattr(self, "_merged_weights", False):
+            from exllamav2_tpu.ops.dequant import merge_serving_weights
+            w = merge_serving_weights(w)
         for lora in (loras or []):
             w = apply_lora(w, lora)
         self.model = type(self.model)(w, self.model.static,

@@ -254,6 +254,27 @@ def merge_linears(lins):
                        bias=bias, k=k0, n=n, n_orig=n)
 
 
+def strip_merged_weights(w):
+    """Drop the merged qkv / gate_up fast-path attrs so the per-matrix
+    linears are authoritative again (required when LoRA wraps q/k/v —
+    the forward prefers the merged stream, which would silently bypass
+    the adapters)."""
+    import dataclasses
+    from exllamav2_tpu.models.modules import MLPWeights
+
+    layers = []
+    for lw in w.layers:
+        aw = lw.attn
+        if getattr(aw, "qkv", None) is not None:
+            aw = dataclasses.replace(aw, qkv=None)
+        mlp = lw.mlp
+        if isinstance(mlp, MLPWeights) \
+                and getattr(mlp, "gate_up", None) is not None:
+            mlp = dataclasses.replace(mlp, gate_up=None)
+        layers.append(dataclasses.replace(lw, attn=aw, mlp=mlp))
+    return dataclasses.replace(w, layers=tuple(layers))
+
+
 def merge_serving_weights(w):
     """Attach merged qkv / gate_up decode fast-path linears to every
     layer where the structure allows (bitwise-exact; see merge_linears).

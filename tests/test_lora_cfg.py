@@ -71,6 +71,40 @@ def test_lora_changes_output(model, tmp_path):
     assert np.allclose(np.asarray(base_logits), np.asarray(back))
 
 
+def test_set_loras_on_merged_generator(model, tmp_path):
+    """set_loras on a merged_weights generator must not silently bypass
+    the adapters: the forward prefers the merged qkv stream, so attach
+    strips it (and detach re-merges). Output with LoRA must match the
+    unmerged LoRA generator; after detach it must match the base."""
+    adapter = str(tmp_path / "adapter")
+    _mk_adapter(adapter)
+    lora = Lora(adapter)
+    tk = ByteTokenizer(384)
+
+    def cache():
+        return PagedKVCache.alloc(model.static.num_layers, 16,
+                                  model.static.num_kv_heads,
+                                  model.static.head_dim, "bf16")
+
+    base = DynamicGenerator(model, cache(), tk).generate(
+        "merged lora", max_new_tokens=6, settings=Settings.greedy())
+    ref_gen = DynamicGenerator(model, cache(), tk)
+    ref_gen.set_loras([lora])
+    with_lora = ref_gen.generate("merged lora", max_new_tokens=6,
+                                 settings=Settings.greedy())
+    assert with_lora != base       # the adapter visibly changes output
+
+    gen = DynamicGenerator(model, cache(), tk, merged_weights=True)
+    gen.set_loras([lora])
+    assert gen.model.weights.layers[0].attn.qkv is None   # stripped
+    assert gen.generate("merged lora", max_new_tokens=6,
+                        settings=Settings.greedy()) == with_lora
+    gen.set_loras(None)
+    assert gen.model.weights.layers[0].attn.qkv is not None  # re-merged
+    assert gen.generate("merged lora", max_new_tokens=6,
+                        settings=Settings.greedy()) == base
+
+
 def test_lora_math_exact(model, tmp_path):
     """LoRA bypass matches the manual A/B computation on one linear."""
     import jax.numpy as jnp
