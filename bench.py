@@ -24,8 +24,37 @@ import os
 import time
 
 import numpy as np
+
+
+def _tunnel_watchdog(seconds=180.0):
+    """The axon backend registers inside `import jax` and can block
+    forever when the relay is wedged (observed for a full round), stuck
+    in a C-level wait — a SIGALRM Python handler never runs there, so
+    the watchdog is a daemon THREAD (the blocked I/O call releases the
+    GIL) that emits an honest error row instead of silently timing out
+    the driver. Cancelled the moment the backend answers."""
+    import threading
+
+    def _fire():
+        print(json.dumps({
+            "metric": "decode_tokens_per_s_7b_exl2_4bpw", "value": 0.0,
+            "unit": "tokens/s", "vs_baseline": 0.0,
+            "error": "axon tunnel unreachable (backend init hang)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    if os.environ.get("BENCH_NO_WATCHDOG") != "1":
+        t.start()
+    return t
+
+
+_wd = _tunnel_watchdog()
 import jax
 import jax.numpy as jnp
+jax.devices()                       # force backend init under the watchdog
+_wd.cancel()
 
 BASELINE_TPS = 211.0   # Llama2-7B EXL2 4.0bpw on RTX 4090
 
