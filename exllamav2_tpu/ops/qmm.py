@@ -152,6 +152,13 @@ def _partials_gptq_matmul(x: jax.Array, seg: GptqSegment) -> jax.Array:
     gr = seg.group_rows
     k_tile, n_tile = _pick_tiles(rows_pad, n, seg.bits, gr, m_pad)
     gt = k_tile // gr
+    # Mosaic sublane rule: the scales/zeros block's second-minor dim (gt)
+    # must be 8-divisible or span the whole group axis. Small matrices
+    # (few groups) fall back to a single full-K tile, where the block
+    # equals the array dim and is always legal.
+    if gt % 8:
+        k_tile = rows_pad
+        gt = rows_pad // gr
     grid = (n // n_tile, rows_pad // k_tile)
 
     def kernel(x_ref, *refs):

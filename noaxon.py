@@ -23,10 +23,17 @@ import pytest
 
 @pytest.hookimpl(trylast=True)
 def pytest_load_initial_conftests(early_config, parser, args):
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+    if os.environ.get("NOAXON_REEXECED") == "1":
         return
-    if "jax" in sys.modules:        # too late to matter; don't loop
+    dirty = (os.environ.get("PALLAS_AXON_POOL_IPS")
+             or os.environ.get("JAX_PLATFORMS", "").startswith("axon"))
+    if not dirty:
         return
+    # NOTE: sitecustomize imports jax while registering the axon PJRT
+    # plugin, so "jax" in sys.modules is NOT a usable re-exec guard (it
+    # is always true); the NOAXON_REEXECED env var is the loop guard.
+    # Re-exec is safe even with jax imported — the new interpreter
+    # starts clean with the axon vars stripped.
     capman = early_config.pluginmanager.getplugin("capturemanager")
     if capman is not None:
         try:
@@ -36,6 +43,7 @@ def pytest_load_initial_conftests(early_config, parser, args):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    env["NOAXON_REEXECED"] = "1"
     # `python -m pytest ...` => sys.argv[1:] are the pytest args; a
     # `pytest ...` console script re-execs identically
     os.execve(sys.executable,
