@@ -51,6 +51,31 @@ def _dq_block(data, scales, kind):
     raise ValueError(kind)
 
 
+def _lane_scales3(scales):
+    """[H, page, G] group scales -> [H, page, G*32] per-lane."""
+    h, page, g = scales.shape
+    sf = scales.astype(jnp.float32)
+    return jnp.concatenate(
+        [jnp.broadcast_to(sf[:, :, i:i + 1], (h, page, 32))
+         for i in range(g)], axis=2)
+
+
+def _dq_block3(data, scales, kind):
+    """All-head variant of _dq_block: [H, page, D'] -> f32 [H, page, D]."""
+    if kind in ("bf16", "fp8"):
+        return data.astype(jnp.float32)
+    if kind == "q8":
+        v = data.astype(jnp.int32).astype(jnp.float32) - 128.0
+        return v * _lane_scales3(scales)
+    if kind == "q4":
+        w = data.astype(jnp.int32)
+        lo = (w & 15).astype(jnp.float32) - 8.0
+        hi = ((w >> 4) & 15).astype(jnp.float32) - 8.0
+        v = jnp.concatenate([lo, hi], axis=2)          # natural order
+        return v * _lane_scales3(scales)
+    raise ValueError(kind)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 8, 9, 10, 11, 12, 13))
 def paged_decode_attention(q: jax.Array, k_data: jax.Array,
                            v_data: jax.Array, layer: int,
@@ -115,43 +140,44 @@ def paged_decode_attention(q: jax.Array, k_data: jax.Array,
 
         @pl.when(live)
         def _():
+            # one batched dot_general over ALL kv heads per page block
+            # (a python head loop emits hkv x ~8 tiny Mosaic ops whose
+            # fixed issue cost dominates decode at 32 heads x 32 layers;
+            # measured 25x slower than this formulation at 7B geometry)
             pos = jax.lax.broadcasted_iota(
-                jnp.int32, (1, page_size), 1) + start
-            for h in range(hkv):
-                qh = q_ref[0, h].astype(jnp.float32)          # [G, D]
-                kk = _dq_block(k_ref[0, h],
-                               ks_ref[0, h] if has_ks else None, kk_kind)
-                vv = _dq_block(v_ref[0, h],
-                               vs_ref[0, h] if has_vs else None, vv_kind)
-                s = jax.lax.dot_general(
-                    qh, kk, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                if softcap > 0.0:
-                    s = jnp.tanh(s * (1.0 / softcap)) * softcap
-                valid = pos < vlb
-                if window > 0:
-                    valid = jnp.logical_and(valid, pos >= vlb - window)
-                s = jnp.where(valid, s, -1e30)
-                m_prev = m_ref[h, :g, :1]
-                l_prev = l_ref[h, :g, :1]
-                m_curr = jnp.max(s, axis=1, keepdims=True)
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp(m_prev - m_next)
-                p = jnp.exp(s - m_next)
-                l_ref[h, :g, :1] = alpha * l_prev \
-                    + jnp.sum(p, axis=1, keepdims=True)
-                m_ref[h, :g, :1] = m_next
-                o_curr = jax.lax.dot_general(
-                    p, vv, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc_ref[h, :g] = acc_ref[h, :g] * alpha + o_curr
+                jnp.int32, (1, 1, page_size), 2) + start
+            qf = q_ref[0].astype(jnp.float32)                  # [H, G, D]
+            kk = _dq_block3(k_ref[0],
+                            ks_ref[0] if has_ks else None, kk_kind)
+            vv = _dq_block3(v_ref[0],
+                            vs_ref[0] if has_vs else None, vv_kind)
+            s = jax.lax.dot_general(
+                qf, kk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale    # [H, G, P]
+            if softcap > 0.0:
+                s = jnp.tanh(s * (1.0 / softcap)) * softcap
+            valid = pos < vlb
+            if window > 0:
+                valid = jnp.logical_and(valid, pos >= vlb - window)
+            s = jnp.where(valid, s, -1e30)
+            m_prev = m_ref[:, :g, :1]                          # [H, G, 1]
+            l_prev = l_ref[:, :g, :1]
+            m_curr = jnp.max(s, axis=2, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_ref[:, :g, :1] = alpha * l_prev \
+                + jnp.sum(p, axis=2, keepdims=True)
+            m_ref[:, :g, :1] = m_next
+            o_curr = jax.lax.dot_general(
+                p, vv, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # [H, G, D]
+            acc_ref[:, :g] = acc_ref[:, :g] * alpha + o_curr
 
         @pl.when(pi == pl.num_programs(1) - 1)
         def _():
-            for h in range(hkv):
-                l = l_ref[h, :g, :1]
-                o_ref[0, h] = acc_ref[h, :g] / \
-                    jnp.where(l == 0.0, 1.0, l)
+            l = l_ref[:, :g, :1]
+            o_ref[0] = acc_ref[:, :g] / jnp.where(l == 0.0, 1.0, l)
 
     def page_spec(arr):
         last = arr.shape[3]
