@@ -407,6 +407,68 @@ def shard_model_tp_fused(w: ModelWeights, st: StaticModel, mesh: Mesh,
     return wm, sm
 
 
+def lora_wrap_tp_fused(w: ModelWeights, specs: ModelWeights, lora,
+                       mesh: Mesh, tp: int):
+    """Wrap a PEFT adapter into the fused-TP weight AND spec pytrees.
+
+    Reference parity: exllamav2 threads LoRAs through its fused TP
+    attention/MLP (attn.py:528-547, ext_qmlp.cpp lora args). Here the
+    rank-r factors become optional pytree leaves of the shard_map
+    program: A replicates ([k, r] — the low-rank projection x@A is
+    shard-invariant, every shard computes the same [m, r]); B
+    column-shards ([r, n/tp]) in the same lane-padded coordinate system
+    as the base planes, so the per-shard bypass (x@A)@B_local adds
+    directly onto the local base output and the existing all-gather
+    stitching reassembles the full width. Returns (weights, specs) with
+    matching structure (LoraLinear is a registered dataclass; `scaling`
+    is a meta field and must agree between the two trees)."""
+    from exllamav2_tpu.lora import LoraLinear
+
+    def wrap(lin, spec, key):
+        pair = lora.pair_for(key)
+        if pair is None or lin is None:
+            return lin, spec
+        a, b = pair                                   # [k, r], [r, n_orig]
+        n_full = lin.n * tp                           # lane-padded width
+        if b.shape[1] < n_full:
+            b = np.pad(b, ((0, 0), (0, n_full - b.shape[1])))
+        wl = LoraLinear(
+            base=lin,
+            a=_put(jnp.asarray(a, jnp.bfloat16), mesh, P()),
+            b=_put(jnp.asarray(b, jnp.bfloat16), mesh, P(None, "tp")),
+            scaling=float(lora.scaling))
+        sl = LoraLinear(base=spec, a=P(), b=P(None, "tp"),
+                        scaling=float(lora.scaling))
+        return wl, sl
+
+    layers_w, layers_s = [], []
+    for l, (lw, ls) in enumerate(zip(w.layers, specs.layers)):
+        p = f"model.layers.{l}"
+        aw, as_ = {}, {}
+        for nm, tgt in (("q", "q_proj"), ("k", "k_proj"),
+                        ("v", "v_proj"), ("o", "o_proj")):
+            aw[nm], as_[nm] = wrap(getattr(lw.attn, nm),
+                                   getattr(ls.attn, nm),
+                                   f"{p}.self_attn.{tgt}")
+        attn_w = dataclasses.replace(lw.attn, **aw)
+        attn_s = dataclasses.replace(ls.attn, **as_)
+        if isinstance(lw.mlp, MLPWeights):
+            mw, ms = {}, {}
+            for nm, tgt in (("gate", "gate_proj"), ("up", "up_proj"),
+                            ("down", "down_proj")):
+                mw[nm], ms[nm] = wrap(getattr(lw.mlp, nm),
+                                      getattr(ls.mlp, nm),
+                                      f"{p}.mlp.{tgt}")
+            mlp_w = dataclasses.replace(lw.mlp, **mw)
+            mlp_s = dataclasses.replace(ls.mlp, **ms)
+        else:
+            mlp_w, mlp_s = lw.mlp, ls.mlp
+        layers_w.append(LayerWeights(attn=attn_w, mlp=mlp_w))
+        layers_s.append(LayerWeights(attn=attn_s, mlp=mlp_s))
+    return (dataclasses.replace(w, layers=tuple(layers_w)),
+            dataclasses.replace(specs, layers=tuple(layers_s)))
+
+
 def paged_cache_pspecs(cache):
     """PartitionSpec pytree matching shard_paged_cache placement."""
     import dataclasses as dc

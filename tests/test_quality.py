@@ -43,7 +43,13 @@ def test_cache_quant_ppl_deltas(fixtures):
     assert abs(delta["fp8"]) < 0.20, tbl
     assert abs(delta["q6"]) < 0.60, tbl
     assert abs(delta["q4"]) < 0.60, tbl
-    # fidelity ordering: the 8-bit codec beats fp8 beats 4-bit V
+    # fidelity ordering for THIS implementation: q8 < fp8 < q4 in error.
+    # This inverts the reference's published Q4-beats-FP8 ordering
+    # (doc/qcache_eval.md:32) because the reference's FP8 is fp16-bit
+    # TRUNCATION (rel-RMSE ~0.10, worse than its q4 ~0.08) while ours is
+    # RNE e5m2 (~0.053, better than q4) — demonstrated per-distribution
+    # at the codec level in tests/test_cache_codec_golden.py, where our
+    # q4 round-trip RMSE matches the reference codec's within noise.
     assert abs(delta["q8"]) < abs(delta["fp8"]) < abs(delta["q4"]), tbl
     # q6 = K8 + V4 (cache.cu:259-269): between q8 and q4
     assert abs(delta["q8"]) < abs(delta["q6"]) <= abs(delta["q4"]) * 1.1, tbl
