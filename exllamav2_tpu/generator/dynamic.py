@@ -156,6 +156,9 @@ class DynamicJob:
         self.time_first_token = 0.0
         self.time_last_token = 0.0
         self.rng = np.random.default_rng(seed)
+        # per-prefill-chunk dropped-MoE-route device scalars (MoE models;
+        # totalled once at job finish — no mid-stream sync)
+        self._moe_drop_parts: list = []
 
     @property
     def is_cfg(self) -> bool:
@@ -320,6 +323,11 @@ class DynamicGenerator:
         self.referenced: dict[bytes, CachePage] = {}
         self.unreferenced: OrderedDict[bytes, CachePage] = OrderedDict()
         self.access_serial = 0
+        # cumulative dropped MoE routes across finished jobs (exactness
+        # observability; the reference computes every routed token,
+        # moe_mlp.py:291-317 — a nonzero counter means prefill logits
+        # differ from the exact dense mix; see forward.set_moe_dispatch)
+        self.moe_dropped_tokens = 0
 
         # device-side token history; extra row = dummy slot for padding,
         # margin columns so speculative writes never clamp-corrupt
@@ -851,16 +859,37 @@ class DynamicGenerator:
             last_token_only=last_token_only, pos_offsets=pos_offsets,
             input_embeds=input_embeds, rope_rows=rope_rows)
 
+    def _moe_prefill_stats(self) -> bool:
+        """Count dropped MoE routes during prefill? (jitted single-chip /
+        GSPMD paths only — shard_map-internal tracers can't cross out of
+        the fused TP program, where EP drops stay debug-print-only)."""
+        return bool(getattr(self.model.static, "num_experts", 0)) \
+            and not getattr(self, "_tp_fused", False)
+
     def _get_prefill_fn(self, t_bucket: int, p_bucket: int):
         key = ("prefill", t_bucket, p_bucket)
         if key in self._compiled:
             return self._compiled[key]
+        moe_stats = self._moe_prefill_stats()
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fn(w, cache, ids, block_table, cache_seqlen):
-            _, cache = self._paged_forward(
-                w, ids, cache, block_table, cache_seqlen,
-                last_token_only=True)
+            from exllamav2_tpu.models import forward as F
+            if moe_stats:
+                F._MOE_STATS[0] = []
+            try:
+                _, cache = self._paged_forward(
+                    w, ids, cache, block_table, cache_seqlen,
+                    last_token_only=True)
+                if moe_stats:
+                    parts = F._MOE_STATS[0]
+                    dropped = (sum(parts) if parts
+                               else jnp.zeros((), jnp.int32))
+            finally:
+                if moe_stats:
+                    F._MOE_STATS[0] = None
+            if moe_stats:
+                return cache, dropped
             return cache
 
         self._compiled[key] = fn
@@ -889,15 +918,30 @@ class DynamicGenerator:
         if key in self._compiled:
             return self._compiled[key]
 
+        moe_stats = self._moe_prefill_stats()
+
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fn(w, cache, embeds, block_table, cache_seqlen,
                sin_rows=None, cos_rows=None):
+            from exllamav2_tpu.models import forward as F
             rope = (sin_rows, cos_rows) if with_rope else None
             ids = jnp.zeros(embeds.shape[:2], jnp.int32)
-            _, cache = self._paged_forward(
-                w, ids, cache, block_table, cache_seqlen,
-                last_token_only=True, input_embeds=embeds,
-                rope_rows=rope)
+            if moe_stats:
+                F._MOE_STATS[0] = []
+            try:
+                _, cache = self._paged_forward(
+                    w, ids, cache, block_table, cache_seqlen,
+                    last_token_only=True, input_embeds=embeds,
+                    rope_rows=rope)
+                if moe_stats:
+                    parts = F._MOE_STATS[0]
+                    dropped = (sum(parts) if parts
+                               else jnp.zeros((), jnp.int32))
+            finally:
+                if moe_stats:
+                    F._MOE_STATS[0] = None
+            if moe_stats:
+                return cache, dropped
             return cache
 
         self._compiled[key] = fn
@@ -1193,15 +1237,16 @@ class DynamicGenerator:
             fn = self._get_prefill_mm_fn(t_bucket, p_bucket,
                                          rope is not None)
             if rope is not None:
-                self.cache = fn(self.model.weights, self.cache, embeds,
-                                bt, pos_a, *rope)
+                out = fn(self.model.weights, self.cache, embeds,
+                         bt, pos_a, *rope)
             else:
-                self.cache = fn(self.model.weights, self.cache, embeds,
-                                bt, pos_a)
+                out = fn(self.model.weights, self.cache, embeds,
+                         bt, pos_a)
+            self.cache = self._take_moe_drops(out, job)
         else:
             fn = self._get_prefill_fn(t_bucket, p_bucket)
-            self.cache = fn(self.model.weights, self.cache, chunk, bt,
-                            pos_a)
+            out = fn(self.model.weights, self.cache, chunk, bt, pos_a)
+            self.cache = self._take_moe_drops(out, job)
         if self.draft_model is not None and not stream2 \
                 and not job.embeddings:
             dfn = self._get_draft_prefill_fn(t_bucket, p_bucket)
@@ -1213,6 +1258,15 @@ class DynamicGenerator:
         else:
             job.kv_pos = end
             self._update_page_fill(job)
+
+    def _take_moe_drops(self, out, job: DynamicJob):
+        """Unpack an optional dropped-routes scalar from a prefill output;
+        kept as a device scalar (no sync) and totalled at job finish."""
+        if isinstance(out, tuple):
+            cache, dropped = out
+            job._moe_drop_parts.append(dropped)
+            return cache
+        return out
 
     def _update_page_fill(self, job: DynamicJob):
         """Track per-page fill; hash pages as they fill (dynamic.py:1954)."""
@@ -1734,6 +1788,11 @@ class DynamicGenerator:
                 "tokens_per_second": (job.new_tokens - 1) / t_gen
                 if job.new_tokens > 1 else 0.0,
             })
+            if job._moe_drop_parts:
+                nd = int(sum(int(np.asarray(d))
+                             for d in job._moe_drop_parts))
+                r["moe_dropped_tokens"] = nd
+                self.moe_dropped_tokens += nd
         results.append(r)
 
     # ------------------------------------------------------------------

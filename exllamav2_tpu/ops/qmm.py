@@ -70,6 +70,14 @@ def _pick_tiles(rows_pad: int, n: int, bits: int, group_rows: int,
     for kt in _divisors(rows_pad, SUB_BLOCK, 2048):
         if kt % group_rows:
             continue
+        # Mosaic sublane rule: the (gt, n_tile) scale/zero/qscale meta
+        # block's second-minor dim must be 8-divisible or span the whole
+        # group axis (kt == rows_pad ⇒ gt == total groups). Bites at
+        # large group sizes: GPTQ gs128 at K=4096 has only 32 groups, so
+        # kt=512 gives gt=4 and Mosaic refuses the block (the r4 GPTQ
+        # headline-leg crash).
+        if (kt // group_rows) % 8 and kt != rows_pad:
+            continue
         for nt in _divisors(n, 128, 8192):
             if n_unit and n_unit % nt:
                 continue          # merged sources: tiles must not
@@ -81,6 +89,12 @@ def _pick_tiles(rows_pad: int, n: int, bits: int, group_rows: int,
             score = (-(steps < 4), -abs(plane_b - target), nt)
             if best is None or score > best[0]:
                 best = (score, kt, nt)
+    if best is None:
+        # no tiled kt satisfies the sublane rule (few groups, large K):
+        # a single full-K tile is always legal (block dim == array dim)
+        nts = [nt for nt in _divisors(n, 128, 8192)
+               if not (n_unit and n_unit % nt)] or [n]
+        return rows_pad, nts[-1]
     return best[1], best[2]
 
 

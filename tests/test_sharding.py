@@ -252,11 +252,13 @@ def test_tp_fused_act_order_mixed_bitrate_serving(cpu_devices):
     from tests.equiv import assert_tie_aware_equiv, greedy_logits_run
 
     ids = tk.encode("hello world")
-    plain = greedy_logits_run(DynamicGenerator(model, cache(), tk), ids, 6)
+    gen0 = DynamicGenerator(model, cache(), tk)
+    plain = greedy_logits_run(gen0, ids, 6)
     mesh = make_mesh(tp, dp=1, devices=cpu_devices[:tp])
     gen = DynamicGenerator(model, cache(), tk, mesh=mesh)
     assert gen._tp_fused          # converter output must take fused
-    assert_tie_aware_equiv(plain, greedy_logits_run(gen, ids, 6))
+    assert_tie_aware_equiv(plain, greedy_logits_run(gen, ids, 6),
+                           gens=(gen0, gen), ids=ids)
 
 
 def test_tp_fused_quantized_cache_serving(cpu_devices):

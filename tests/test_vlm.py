@@ -301,7 +301,8 @@ def test_pixtral_fused_tp_serving(pixtral_setup):
     gen = DynamicGenerator(model, cache(), tok, mesh=mesh)
     assert gen._tp_fused       # MM archs are no longer excluded
     sharded = greedy_logits_run(gen, ids, 6, embeddings=[mme])
-    assert_tie_aware_equiv(plain, sharded)
+    assert_tie_aware_equiv(plain, sharded, gens=(gen0, gen), ids=ids,
+                           embeddings=[mme])
 
 
 def test_qwen2vl_fused_tp_serving_mrope(qwen2vl_setup):
@@ -334,4 +335,5 @@ def test_qwen2vl_fused_tp_serving_mrope(qwen2vl_setup):
     gen = DynamicGenerator(model, cache(), tok, mesh=mesh)
     assert gen._tp_fused
     sharded = greedy_logits_run(gen, ids, 6, embeddings=[mme])
-    assert_tie_aware_equiv(plain, sharded)
+    assert_tie_aware_equiv(plain, sharded, gens=(gen0, gen), ids=ids,
+                           embeddings=[mme])
