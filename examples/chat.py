@@ -109,6 +109,81 @@ PROMPT_FORMATS = {
         "stop": ["User:"],
         "turn_end": "\n\n",
     },
+    "codellama": {                   # llama-2 [INST] with a coding persona
+        "description": "CodeLlama-instruct ([INST] + coding system prompt)",
+        "system": "",
+        "first_turn": "[INST] <<SYS>>\n{system}\n<</SYS>>\n\n"
+                      "{user} [/INST]",
+        "turn": "[INST] {user} [/INST]",
+        "stop": ["[INST]"],
+        "turn_end": " ",
+        "default_system": "You are a helpful coding assistant. Always "
+                          "answer as helpfully as possible.",
+    },
+    "qwq": {
+        "description": "Qwen QwQ (ChatML + <think> reasoning opener)",
+        "system": "<|im_start|>system\n{system}<|im_end|>\n",
+        "turn": "<|im_start|>user\n{user}<|im_end|>\n"
+                "<|im_start|>assistant\n<think>\n",
+        "stop": ["<|im_end|>"],
+        "turn_end": "<|im_end|>\n",
+        "special": True,
+        "default_system": "You are a useful coding assistant, who thinks "
+                          "before answering.",
+    },
+    "zephyr": {
+        "description": "Zephyr <|user|>/<|assistant|> + </s> turns",
+        "system": "<|system|>\n{system}\n</s>\n",
+        "turn": "<|user|>\n{user}</s>\n<|assistant|>\n",
+        "stop": ["<|user|>", "</s>"],
+        "turn_end": "</s>\n",
+        "special": True,
+    },
+    "solar": {
+        "description": "Solar-instruct ### User/Assistant blocks",
+        "system": "### System\n{system}\n\n",
+        "turn": "### User:\n{user}\n\n### Assistant:\n",
+        "stop": ["\n\n### User", "\n### User"],
+        "turn_end": "\n\n",
+    },
+    "openchat": {
+        "description": "OpenChat GPT4-Correct turns",
+        "system": "{system}<|end_of_turn|>",
+        "turn": "GPT4 Correct User:{user}<|end_of_turn|>"
+                "GPT4 Correct Assistant:",
+        "stop": ["<|end_of_turn|>", "<|endoftext|>", "GPT4 Correct User:"],
+        "turn_end": "<|end_of_turn|>",
+        "special": True,
+    },
+    "nous": {
+        "description": "Nous Research USER:/ASSISTANT: blocks",
+        "system": "{system}\n\n",
+        "turn": "USER:\n{user}\n\nASSISTANT:\n",
+        "stop": ["</s>", "USER:"],
+        "turn_end": "\n\n",
+        "default_system": "Perform the task to the best of your ability.",
+    },
+    "granite3": {
+        "description": "Granite-3 start_of_role turns",
+        "system": "<|start_of_role|>system<|end_of_role|>{system}"
+                  "<|end_of_text|>",
+        "turn": "<|start_of_role|>user<|end_of_role|>{user}"
+                "<|end_of_text|><|start_of_role|>assistant"
+                "<|end_of_role|>",
+        "stop": ["<|end_of_text|>"],
+        "turn_end": "<|end_of_text|>",
+        "special": True,
+        "default_system": "You are Granite, developed by IBM. You are a "
+                          "helpful AI assistant.",
+    },
+    "glm": {
+        "description": "GLM-4 [gMASK]<sop> + role markers",
+        "system": "[gMASK]<sop><|system|>\n{system}",
+        "turn": "<|user|>\n{user}<|assistant|>\n",
+        "stop": ["<|user|>"],
+        "turn_end": "",
+        "special": True,
+    },
 }
 
 
@@ -205,7 +280,13 @@ def main():
         use_ngram_draft=args.ngram_decoding)
     fmt = PROMPT_FORMATS[args.mode]
     special = bool(fmt.get("special"))
-    system_prompt = "" if args.no_system_prompt else args.system_prompt
+    if args.no_system_prompt:
+        system_prompt = ""
+    elif args.system_prompt == ap.get_default("system_prompt"):
+        # format-specific default persona unless the user overrode it
+        system_prompt = fmt.get("default_system", args.system_prompt)
+    else:
+        system_prompt = args.system_prompt
 
     def render(tpl, user=""):
         return (tpl.replace("{username}", args.username)

@@ -33,8 +33,14 @@ class StreamingGenerator:
                         return_probabilities: bool = False,
                         return_top_tokens: int = 0,
                         return_logits: bool = False,
-                        loras=None):
+                        loras=None,
+                        decode_special_tokens: bool = False):
         from exllamav2_tpu.generator.dynamic import DynamicJob
+        if loras is not None:
+            # reference streaming generator takes per-call LoRA lists
+            # (streaming.py begin_stream_ex loras arg)
+            self.generator.set_loras(
+                loras if isinstance(loras, list) else [loras])
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         self.job = self.generator.enqueue(DynamicJob(
             ids, max_new_tokens=max_new_tokens,
@@ -44,7 +50,8 @@ class StreamingGenerator:
             banned_strings=banned_strings,
             return_probs=return_probabilities,
             return_top_tokens=return_top_tokens,
-            return_logits=return_logits))
+            return_logits=return_logits,
+            decode_special_tokens=decode_special_tokens))
         self._queue = []
 
     def stream_ex(self) -> dict:
