@@ -295,6 +295,52 @@ def main():
         _ab_leg("merged_prescale_tokens_per_s",
                 lambda: precompute_model_scales(merge_serving_weights(w)))
 
+    # ---- reference-table sweep rows (README.md:65-75), in-process so the
+    # driver records them without a manual TPU session. Each row carries
+    # its own published-baseline ratio. Budget-gated; BENCH_SWEEP=0 skips.
+    def _sweep_leg(key, geom_, bits_, fmt_, base):
+        try:
+            w2, st2 = random_model_weights(max_seq=1024, bits=bits_,
+                                           seed=0, fmt=fmt_, **GEOMS[geom_])
+
+            @functools.partial(jax.jit, static_argnums=(4,),
+                               donate_argnums=(2,))
+            def dec(wv, tok, cache2, past_len, attn_limit):
+                logits, cache2 = model_forward(wv, st2, tok, cache2,
+                                               past_len,
+                                               attn_limit=attn_limit)
+                tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(
+                    jnp.int32)
+                return tok[:, None], cache2
+
+            cache2 = KVCache.alloc(st2.num_layers, 1, 1024,
+                                   st2.num_kv_heads, st2.head_dim)
+            tok = jnp.ones((1, 1), jnp.int32)
+            for i in range(3):
+                tok, cache2 = dec(w2, tok, cache2, jnp.int32(256 + i), 512)
+            np.asarray(tok)
+            t0 = time.perf_counter()
+            sweep_steps = 48
+            for i in range(sweep_steps):
+                tok, cache2 = dec(w2, tok, cache2, jnp.int32(259 + i), 512)
+            np.asarray(tok)
+            tps = sweep_steps / (time.perf_counter() - t0)
+            _EXTRA[key] = round(tps, 2)
+            _EXTRA[key + "_vs_baseline"] = round(tps / base, 4)
+            del w2, cache2
+        except Exception as e:                      # never lose the record
+            _EXTRA[key + "_error"] = _err_detail(e)
+        _emit()
+
+    if os.environ.get("BENCH_SWEEP", "1") == "1" and fmt == "exl2" \
+            and geom == "7b" and bits == 4:
+        if left() > 180:
+            _sweep_leg("sweep_1b_exl2_4bpw_tokens_per_s", "1b", 4,
+                       "exl2", _SWEEP_BASELINES[("1b", 4)])
+        if left() > 240:
+            _sweep_leg("sweep_7b_gptq_gs128_tokens_per_s", "7b", 4,
+                       "gptq", _GPTQ_BASELINES["7b"])
+
     # promote the fastest exact-semantics configuration to the headline
     # (all legs are bitwise-equivalent decode paths of the same model;
     # DynamicGenerator exposes them via merged_weights= / prescale=).
