@@ -274,8 +274,12 @@ def paged_attention(q: jax.Array, cache, layer: int,
     hkv = k.shape[1]
     g = hq // hkv
 
-    qg = q.astype(jnp.bfloat16).reshape(b, t, hkv, g, d)
-    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k,
+    # bf16 feeds the MXU on TPU; the CPU thunk runtime rejects some
+    # bf16 x bf16 = f32 dot fusions (same workaround as qmm.py's
+    # unfused branch), so off-TPU the dots run in f32
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    qg = q.astype(dt).reshape(b, t, hkv, g, d)
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k.astype(dt),
                         preferred_element_type=jnp.float32) * scale
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
@@ -287,7 +291,7 @@ def paged_attention(q: jax.Array, cache, layer: int,
         mask &= pos_k[None, None, :] > pos_q[:, :, None] - window
     scores = jnp.where(mask[:, None, None], scores, _NEG)
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
-    out = jnp.einsum("bkgts,bksd->btkgd", probs, v,
+    probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+    out = jnp.einsum("bkgts,bksd->btkgd", probs, v.astype(dt),
                      preferred_element_type=jnp.float32)
     return out.reshape(b, t, hq, d)

@@ -175,13 +175,16 @@ def _partials_gptq_matmul(x: jax.Array, seg: GptqSegment) -> jax.Array:
         gt = rows_pad // gr
     grid = (n // n_tile, rows_pad // k_tile)
 
+    interp = _interpret()
+
     def kernel(x_ref, *refs):
         o_ref = refs[-1]
         scale_ref, zero_ref = refs[-3], refs[-2]
         plane_refs = refs[:-3]
         vals = D.unpack_planes([r[:] for r in plane_refs], seg.plane_bits)
-        wb = vals.astype(jnp.bfloat16)              # [kt, nt]
-        xb = x_ref[:]                               # [m_pad, kt]
+        dot_t = jnp.float32 if interp else jnp.bfloat16
+        wb = vals.astype(dot_t)                     # [kt, nt]
+        xb = x_ref[:].astype(dot_t)                 # [m_pad, kt]
         s = scale_ref[:]                            # [gt, nt] f32
         z = zero_ref[:].astype(jnp.float32)         # [gt, nt]
         acc = None
@@ -264,10 +267,18 @@ def _fused_segment_matmul(x: jax.Array, seg) -> jax.Array:
     assert gt * seg.group_rows == k_tile, (k_tile, seg.group_rows)
     grid = (n // n_tile, rows_pad // k_tile)
 
+    interp = _interpret()
+
     def kernel(x_ref, *refs):
         o_ref = refs[-1]
         w = _dequant_block(refs[:-1], seg, n_tile, k_tile)
-        acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+        xb = x_ref[:]
+        if interp:
+            # interpret mode runs the kernel body as XLA CPU ops, whose
+            # thunk runtime rejects some bf16 dot fusions (notably with
+            # an act-order gather upstream) — compute the dot in f32
+            xb, w = xb.astype(jnp.float32), w.astype(jnp.float32)
+        acc = jnp.dot(xb, w, preferred_element_type=jnp.float32)
         k_step = pl.program_id(1)
 
         @pl.when(k_step == 0)

@@ -60,7 +60,11 @@ def _mk_inputs(k, n, seed=0):
     return plane, qs, smax, x
 
 
-def _time(f, x, iters=24):
+def _time(f, x, iters=16384):
+    """Single-linear calls are ~20-50us of device work; through the axon
+    tunnel the readback noise is tens of ms, so the two-point slope needs
+    a large iteration delta (iters/4 .. iters) to resolve above it — 24
+    iters (round 3) produced negative slopes."""
     from exllamav2_tpu.utils.timing import device_time
     return device_time(f, x, iters=iters)
 
@@ -99,8 +103,9 @@ def dma_only():
             nt = n // 2
 
         def kernel(p_ref, o_ref):
-            o_ref[:] = jnp.sum(p_ref[:].astype(jnp.float32),
-                               axis=0, keepdims=True)[:8]
+            s = jnp.sum(p_ref[:].astype(jnp.float32), axis=0,
+                        keepdims=True)                        # [1, nt]
+            o_ref[:] = jnp.broadcast_to(s, o_ref.shape)       # [8, nt]
 
         def f(p):
             return pl.pallas_call(
@@ -339,8 +344,12 @@ def main():
         if r.returncode == 0 and out:
             print(out.splitlines()[-1])
         else:
-            tail = (r.stderr or r.stdout).strip().splitlines()
-            print(f"{name} -> FAIL: {tail[-1] if tail else 'crash'}")
+            tail = [l for l in (r.stderr or r.stdout).strip().splitlines()
+                    if l.strip()
+                    and "For simplicity, JAX has removed" not in l
+                    and "Set JAX_TRACEBACK_FILTERING" not in l]
+            print(f"{name} -> FAIL: "
+                  f"{' | '.join(tail[-2:]) if tail else 'crash'}")
 
 
 if __name__ == "__main__":
