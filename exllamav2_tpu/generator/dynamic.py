@@ -194,7 +194,16 @@ class DynamicGenerator:
                  num_draft_tokens: int = 4, use_ngram_draft: bool = False,
                  max_ngram: int = 4, mesh=None,
                  merged_weights: bool = False,
-                 prescale: bool = False):
+                 prescale: bool = False,
+                 decode_burst: int | None = None):
+        # burst decode: up to this many tokens per dispatch when no job
+        # needs per-step host intervention (_get_decode_burst_fn). 8 is
+        # the latency/waste sweet spot on the tunnel-attached chip; set
+        # 1 to force per-token dispatch (or DECODE_BURST env).
+        import os as _os
+        self.decode_burst = int(
+            _os.environ.get("DECODE_BURST", decode_burst
+                            if decode_burst is not None else 8))
         # multi-chip serving: shard weights (TP splits) + paged cache
         # (kv-head split) over the mesh. Two modes:
         #   * fused (preferred): the whole forward runs under shard_map —
@@ -1073,6 +1082,57 @@ class DynamicGenerator:
         self._compiled[key] = fn
         return fn
 
+    def _get_decode_burst_fn(self, b_bucket: int, p_bucket: int, k: int,
+                             use_dry: bool = False, biased: bool = False):
+        """k decode steps in ONE dispatch (lax.scan): the TPU answer to
+        per-token host/tunnel latency in continuous batching. The sampled
+        token feeds the next step through the on-device hist, so the host
+        only uploads block tables once and reads back [k] tokens per job
+        per dispatch. Stop tokens/strings are still honored per token on
+        the host afterwards — a job that stops mid-burst just wastes the
+        remaining rows of its own (private) pages, exactly like the
+        speculative-decode rollback semantics. Eligibility is gated by
+        the caller (no masks/top-k/logits/CFG, capacity for k rows)."""
+        key = ("decode_burst", b_bucket, p_bucket, k, use_dry, biased)
+        if key in self._compiled:
+            return self._compiled[key]
+        import dataclasses as _dc
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def fn(w, cache, hist, block_tables, cache_seqlens, slots,
+               params, rkey, pos_off, bias_pool=None):
+            from exllamav2_tpu.ops.sampling import apply_dry
+
+            def body(carry, i):
+                cache, hist, p = carry
+                sl = cache_seqlens + i
+                ids = hist[slots, sl][:, None]                 # [B, 1]
+                logits, cache = self._paged_forward(
+                    w, ids, cache, block_tables, sl,
+                    last_token_only=True, pos_offsets=pos_off)
+                lg = logits[:, -1, :]
+                if biased:
+                    lg = lg + bias_pool[slots]
+                lg = apply_penalties(lg, hist[slots], sl + 1, p)
+                if use_dry:
+                    lg = apply_dry(lg, hist[slots], sl + 1,
+                                   p.dry_multiplier, p.dry_base,
+                                   p.dry_allowed_length, p.dry_range,
+                                   p.dry_breakers)
+                toks, probs, mu = sample(
+                    jax.random.fold_in(rkey, i), lg, p)
+                hist = hist.at[slots, sl + 1].set(toks)
+                p = _dc.replace(p, mirostat_mu=mu)
+                return (cache, hist, p), (toks, probs)
+
+            (cache, hist, params), (toks_k, probs_k) = jax.lax.scan(
+                body, (cache, hist, params),
+                jnp.arange(k, dtype=jnp.int32))
+            return cache, hist, toks_k, probs_k, params.mirostat_mu
+
+        self._compiled[key] = fn
+        return fn
+
     # ------------------------------------------------------------------
     # iterate
     # ------------------------------------------------------------------
@@ -1383,6 +1443,55 @@ class DynamicGenerator:
         topk = _bucket(topk, 4) if topk else 0
         self._key, sub = jax.random.split(self._key)
         ret_logits = any(j.return_logits for j in jobs)
+
+        # ---- burst decode: k tokens per dispatch (host/tunnel latency
+        # amortization; see _get_decode_burst_fn). Eligible when no job
+        # needs per-step host intervention (masks, top-k, logits,
+        # banned-string rewinds) and every job has room for k rows in
+        # its own pages. Pending jobs force k=1 so new-job TTFT doesn't
+        # stall behind a burst.
+        if (self.decode_burst > 1 and not any_masked and not topk
+                and not ret_logits and not self.pending
+                and not any(j.banned_strings for j in jobs)):
+            room = min(
+                min(j.max_new_tokens - j.new_tokens for j in jobs),
+                min(len(j.pages) * self.page_size - j.kv_pos
+                    for j in jobs),
+                self.max_seq_len - max(j.kv_pos for j in jobs))
+            k = 1
+            while k * 2 <= min(self.decode_burst, room):
+                k *= 2                      # power-of-2 compile buckets
+            if k > 1:
+                bfn = self._get_decode_burst_fn(b_bucket, p_bucket, k,
+                                                use_dry, biased)
+                kw2 = {"bias_pool": self._bias_pool} if biased else {}
+                out = bfn(self.model.weights, self.cache, self.hist,
+                          bts, seqlens, slots, params, sub, pos_off,
+                          **kw2)
+                self.cache, self.hist, toks_k, probs_k, mu = out
+                toks_h = np.asarray(toks_k)          # [k, b_bucket]
+                probs_h = np.asarray(probs_k)
+                mu_h = np.asarray(mu)
+                now = time.perf_counter()
+                for i, job in enumerate(jobs):
+                    job.mirostat_mu = float(mu_h[i])
+                for step in range(k):
+                    for i, job in enumerate(jobs):
+                        if job.status == "done":
+                            continue       # mid-burst stop: rows wasted
+                        tok = int(toks_h[step, i])
+                        job.last_prob = float(probs_h[step, i])
+                        job.kv_pos += 1
+                        job.sequence = np.append(job.sequence,
+                                                 np.int32(tok))
+                        job.new_tokens += 1
+                        if job.new_tokens == 1:
+                            job.time_first_token = now
+                        job.time_last_token = now
+                        self._update_page_fill(job)
+                        self._emit(job, tok, results)
+                return
+
         fn = self._get_decode_fn(b_bucket, p_bucket, any_masked, use_dry,
                                  biased, topk, ret_logits)
         args = (self.model.weights, self.cache, self.hist,
