@@ -212,7 +212,8 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
                     max_pos: int = 512, seed: int = 0,
                     act_order: bool = False, arch: str = "LlamaForCausalLM",
                     extra_config: dict | None = None,
-                    scale: float = 0.05, head_scale: float = 1.0) -> str:
+                    scale: float = 0.05, head_scale: float = 1.0,
+                    attn_scale: float = 1.0) -> str:
     """Write a tiny random checkpoint in the layout the given architecture
     declares (keys derived from the ArchParams registry); returns model_dir.
     """
@@ -311,9 +312,16 @@ def make_tiny_llama(model_dir: str, *, quant: str | None = "exl2",
             put_linear(ap.key_fused_qkv.format(l=l), w,
                        bias_width=(nq + 2 * nkv) if attn_bias else 0)
         else:
-            put_linear(ap.key_attn_q.format(l=l), dense(nq, hidden),
+            # attn_scale > 1 peaks the softmax (scores scale ~ s^2): a
+            # random-init net attends near-uniformly, which hides
+            # K-cache quantization error — peaked attention restores the
+            # trained-model sensitivity (K error perturbs WHERE attention
+            # lands, see docs/QUALITY.md q6-vs-q4 discussion)
+            put_linear(ap.key_attn_q.format(l=l),
+                       dense(nq, hidden) * attn_scale,
                        bias_width=nq if attn_bias else 0)
-            put_linear(ap.key_attn_k.format(l=l), dense(nkv, hidden),
+            put_linear(ap.key_attn_k.format(l=l),
+                       dense(nkv, hidden) * attn_scale,
                        bias_width=nkv if attn_bias else 0)
             put_linear(ap.key_attn_v.format(l=l), dense(nkv, hidden),
                        bias_width=nkv if attn_bias else 0)
