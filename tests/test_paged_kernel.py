@@ -61,8 +61,11 @@ def test_kernel_quantized_kinds(model128, kind):
         logits, cache = step(model.weights, model.static,
                              jnp.asarray(ids), cache, bt,
                              jnp.asarray([0], jnp.int32))
-        # one decode step -> kernel path (t=1)
-        nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        # one decode step -> kernel path (t=1). Teacher-force a FIXED
+        # token: the prefill argmax sits on a 0.015-logit tie for this
+        # seed, so argmax-feeding made the q8 and bf16 runs diverge onto
+        # different contexts and the comparison meaningless.
+        nxt = jnp.asarray([[77]], jnp.int32)
         logits2, cache = step(model.weights, model.static, nxt, cache, bt,
                               jnp.asarray([8], jnp.int32))
         return np.asarray(logits2)
@@ -121,7 +124,9 @@ def _one_decode_logits(model, cache_kind, softcap=0.0, window=0,
                    static_argnums=(1,), donate_argnums=(3,))
     logits, cache = step(model.weights, st, jnp.asarray(ids), cache,
                          jnp.asarray(bt), np.asarray([0], np.int32))
-    nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    # teacher-force a fixed token (argmax-feeding diverged the compared
+    # runs on a 0.015-logit prefill tie — see test_kernel_quantized_kinds)
+    nxt = jnp.asarray([[77]], jnp.int32)
     logits2, _ = step(model.weights, st, nxt, cache, jnp.asarray(bt),
                      np.asarray([8], np.int32))
     return np.asarray(logits2)
