@@ -1035,12 +1035,22 @@ class DynamicGenerator:
         self._compiled[key] = fn
         return fn
 
+    @staticmethod
+    def _needs_penalties(jobs) -> bool:
+        """Static skip: apply_penalties costs ~3.7 ms/step at 7B (four
+        [B, V] scatters over the hist window) — greedy/neutral-penalty
+        batches drop it from the compiled step entirely."""
+        return any(j.settings.token_repetition_penalty != 1.0
+                   or j.settings.token_frequency_penalty != 0.0
+                   or j.settings.token_presence_penalty != 0.0
+                   for j in jobs)
+
     def _get_decode_fn(self, b_bucket: int, p_bucket: int,
                        masked: bool = False, use_dry: bool = False,
                        biased: bool = False, topk: int = 0,
-                       ret_logits: bool = False):
+                       ret_logits: bool = False, use_pen: bool = True):
         key = ("decode", b_bucket, p_bucket, masked, use_dry, biased, topk,
-               ret_logits)
+               ret_logits, use_pen)
         if key in self._compiled:
             return self._compiled[key]
         st = self.model.static
@@ -1059,7 +1069,9 @@ class DynamicGenerator:
                 # per-job additive token bias (ref sampler.py:471-477),
                 # resident in a device pool uploaded once per job
                 lg = lg + bias_pool[slots]
-            lg = apply_penalties(lg, hist[slots], cache_seqlens + 1, params)
+            if use_pen:
+                lg = apply_penalties(lg, hist[slots], cache_seqlens + 1,
+                                     params)
             if use_dry:
                 lg = apply_dry(lg, hist[slots], cache_seqlens + 1,
                                params.dry_multiplier, params.dry_base,
@@ -1083,7 +1095,8 @@ class DynamicGenerator:
         return fn
 
     def _get_decode_burst_fn(self, b_bucket: int, p_bucket: int, k: int,
-                             use_dry: bool = False, biased: bool = False):
+                             use_dry: bool = False, biased: bool = False,
+                             use_pen: bool = True):
         """k decode steps in ONE dispatch (lax.scan): the TPU answer to
         per-token host/tunnel latency in continuous batching. The sampled
         token feeds the next step through the on-device hist, so the host
@@ -1093,7 +1106,8 @@ class DynamicGenerator:
         remaining rows of its own (private) pages, exactly like the
         speculative-decode rollback semantics. Eligibility is gated by
         the caller (no masks/top-k/logits/CFG, capacity for k rows)."""
-        key = ("decode_burst", b_bucket, p_bucket, k, use_dry, biased)
+        key = ("decode_burst", b_bucket, p_bucket, k, use_dry, biased,
+               use_pen)
         if key in self._compiled:
             return self._compiled[key]
         import dataclasses as _dc
@@ -1113,7 +1127,8 @@ class DynamicGenerator:
                 lg = logits[:, -1, :]
                 if biased:
                     lg = lg + bias_pool[slots]
-                lg = apply_penalties(lg, hist[slots], sl + 1, p)
+                if use_pen:
+                    lg = apply_penalties(lg, hist[slots], sl + 1, p)
                 if use_dry:
                     lg = apply_dry(lg, hist[slots], sl + 1,
                                    p.dry_multiplier, p.dry_base,
@@ -1433,6 +1448,7 @@ class DynamicGenerator:
             packed = np.packbits(allow, axis=1, bitorder="little")
 
         use_dry = any(j.settings.dry_multiplier > 0 for j in jobs)
+        use_pen = self._needs_penalties(jobs)
         params = stack_settings(sett, mus)
         pos_off = np.zeros((b_bucket,), np.int32)
         for i, job in enumerate(jobs):
@@ -1463,7 +1479,7 @@ class DynamicGenerator:
                 k *= 2                      # power-of-2 compile buckets
             if k > 1:
                 bfn = self._get_decode_burst_fn(b_bucket, p_bucket, k,
-                                                use_dry, biased)
+                                                use_dry, biased, use_pen)
                 kw2 = {"bias_pool": self._bias_pool} if biased else {}
                 out = bfn(self.model.weights, self.cache, self.hist,
                           bts, seqlens, slots, params, sub, pos_off,
@@ -1493,7 +1509,7 @@ class DynamicGenerator:
                 return
 
         fn = self._get_decode_fn(b_bucket, p_bucket, any_masked, use_dry,
-                                 biased, topk, ret_logits)
+                                 biased, topk, ret_logits, use_pen)
         args = (self.model.weights, self.cache, self.hist,
                 bts, seqlens, slots, params, sub, pos_off)
         kw = {}
