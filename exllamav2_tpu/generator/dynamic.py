@@ -198,12 +198,15 @@ class DynamicGenerator:
                  decode_burst: int | None = None):
         # burst decode: up to this many tokens per dispatch when no job
         # needs per-step host intervention (_get_decode_burst_fn). 8 is
-        # the latency/waste sweet spot on the tunnel-attached chip; set
-        # 1 to force per-token dispatch (or DECODE_BURST env).
+        # the latency/waste sweet spot on the tunnel-attached chip; 1
+        # forces per-token dispatch. Explicit arg wins over the
+        # DECODE_BURST env (tests default the env to 1 and opt back in
+        # per generator).
         import os as _os
-        self.decode_burst = int(
-            _os.environ.get("DECODE_BURST", decode_burst
-                            if decode_burst is not None else 8))
+        if decode_burst is not None:
+            self.decode_burst = int(decode_burst)
+        else:
+            self.decode_burst = int(_os.environ.get("DECODE_BURST", 8))
         # multi-chip serving: shard weights (TP splits) + paged cache
         # (kv-head split) over the mesh. Two modes:
         #   * fused (preferred): the whole forward runs under shard_map —
@@ -335,8 +338,11 @@ class DynamicGenerator:
         # cumulative dropped MoE routes across finished jobs (exactness
         # observability; the reference computes every routed token,
         # moe_mlp.py:291-317 — a nonzero counter means prefill logits
-        # differ from the exact dense mix; see forward.set_moe_dispatch)
-        self.moe_dropped_tokens = 0
+        # differ from the exact dense mix; see forward.set_moe_dispatch).
+        # Batched prefills contribute whole-batch device scalars, folded
+        # lazily by the moe_dropped_tokens property (no mid-stream sync).
+        self._moe_dropped_host = 0
+        self._moe_drop_batch: list = []
 
         # device-side token history; extra row = dummy slot for padding,
         # margin columns so speculative writes never clamp-corrupt
@@ -1172,23 +1178,37 @@ class DynamicGenerator:
                 stalled = True
         self.pending = still
 
-        # prefill round: one chunk per prefilling job
-        for job in self.active:
-            if job.status == "prefill":
+        # prefill round: plain text jobs batch into ONE forward per group
+        # (each single-job prefill dispatch pays ~1 ms tunnel latency and
+        # leaves the MXU under-batched — 8 sequential 128-token prefills
+        # dominated serving TTFT p50 at 1.7 s); MM / MRoPE / CFG jobs
+        # keep the single-job path
+        prefilling = [j for j in self.active if j.status == "prefill"]
+        plain = [j for j in prefilling
+                 if not (j.embeddings or j.mrope_rows is not None
+                         or j.is_cfg)]
+        batched: set[int] = set()
+        if len(plain) >= 2:
+            batched = set(map(id, plain))
+            for i in range(0, len(plain), self.max_batch_size):
+                self._prefill_chunk_batch(
+                    plain[i:i + self.max_batch_size])
+        for job in prefilling:
+            if id(job) not in batched:
                 self._prefill_chunk(job)
                 if job.is_cfg and job.kv_pos2 < len(job.negative_ids) - 1:
                     self._prefill_chunk(job, stream2=True)
-                done1 = job.kv_pos >= job.prompt_len - 1
-                done2 = (not job.is_cfg
-                         or job.kv_pos2 >= len(job.negative_ids) - 1)
-                if done1 and done2:
-                    job.status = "generating"
-                else:
-                    results.append({
-                        "job": job, "stage": "prefill", "eos": False,
-                        "curr_progress": job.kv_pos,
-                        "max_progress": job.prompt_len - 1,
-                        "serial": id(job)})
+            done1 = job.kv_pos >= job.prompt_len - 1
+            done2 = (not job.is_cfg
+                     or job.kv_pos2 >= len(job.negative_ids) - 1)
+            if done1 and done2:
+                job.status = "generating"
+            else:
+                results.append({
+                    "job": job, "stage": "prefill", "eos": False,
+                    "curr_progress": job.kv_pos,
+                    "max_progress": job.prompt_len - 1,
+                    "serial": id(job)})
 
         # retry deferred banned-string rewinds (a shared page needed a
         # private copy but none was free); still-deferred jobs sit out
@@ -1265,11 +1285,83 @@ class DynamicGenerator:
                 job.slot = -1
         return results
 
+    @property
+    def moe_dropped_tokens(self) -> int:
+        """Cumulative dropped MoE routes (per-job parts + batched-prefill
+        batch totals, folded on read)."""
+        if self._moe_drop_batch:
+            self._moe_dropped_host += int(sum(
+                int(np.asarray(d)) for d in self._moe_drop_batch))
+            self._moe_drop_batch.clear()
+        return self._moe_dropped_host
+
     def _job_block_table(self, job: DynamicJob, width: int) -> np.ndarray:
         bt = np.zeros((width,), np.int32)     # null page padding
         for i, p in enumerate(job.pages):
             bt[i] = p.index
         return bt
+
+    def _next_chunk_span(self, job: DynamicJob, stream2: bool = False):
+        """(pos, end) of the job's next page-aligned prefill chunk."""
+        ids = job.negative_ids if stream2 else job.prompt_ids
+        pos = job.kv_pos2 if stream2 else job.kv_pos
+        plen = len(ids)
+        end = min(pos + self.max_chunk_size, plen - 1)
+        if end < plen - 1:
+            end = (end // self.page_size) * self.page_size
+            if end <= pos:
+                end = min(pos + self.max_chunk_size, plen - 1)
+        return pos, end
+
+    def _prefill_chunk_batch(self, jobs: list[DynamicJob]):
+        """One batched prefill forward over several plain-text jobs'
+        next chunks (padded to shared t/p buckets; pad rows write into
+        the reserved null page, pad columns of a short job land in the
+        null page through its zero-padded block table)."""
+        chunks = []
+        for job in jobs:
+            pos, end = self._next_chunk_span(job)
+            if end - pos > 0:
+                chunks.append((job, pos, end))
+        if not chunks:
+            return
+        if len(chunks) == 1:
+            self._prefill_chunk(chunks[0][0])
+            return
+        b = len(chunks)
+        b_bucket = _bucket(b, 1)
+        t_bucket = _bucket(max(e - p for _, p, e in chunks), 16)
+        ps = self.page_size
+        # block-table width must cover pos + t_bucket for EVERY row:
+        # a short job's padded tail positions must resolve to padding
+        # (null-page) columns, never clamp onto its last real page
+        p_need = max(max(len(j.pages) for j, _, _ in chunks),
+                     max((p + t_bucket - 1) // ps + 1
+                         for _, p, _ in chunks))
+        p_bucket = _bucket(p_need, 2)
+        ids_a = np.zeros((b_bucket, t_bucket), np.int32)
+        bt = np.zeros((b_bucket, p_bucket), np.int32)
+        pos_a = np.zeros((b_bucket,), np.int32)
+        for i, (job, pos, end) in enumerate(chunks):
+            ids_a[i, :end - pos] = job.prompt_ids[pos:end]
+            bt[i] = self._job_block_table(job, p_bucket)
+            pos_a[i] = pos
+        fn = self._get_prefill_fn(t_bucket, p_bucket)
+        out = fn(self.model.weights, self.cache, ids_a, bt, pos_a)
+        if isinstance(out, tuple):
+            # batch-total MoE drops can't be attributed per job; they
+            # fold into the generator counter lazily (property below)
+            self.cache, dropped = out
+            self._moe_drop_batch.append(dropped)
+        else:
+            self.cache = out
+        if self.draft_model is not None:
+            dfn = self._get_draft_prefill_fn(t_bucket, p_bucket)
+            self.draft_cache = dfn(self.draft_model.weights,
+                                   self.draft_cache, ids_a, bt, pos_a)
+        for job, pos, end in chunks:
+            job.kv_pos = end
+            self._update_page_fill(job)
 
     def _prefill_chunk(self, job: DynamicJob, stream2: bool = False):
         # page-aligned chunk end (dynamic.py:2330-2519)
@@ -1917,7 +2009,7 @@ class DynamicGenerator:
                 nd = int(sum(int(np.asarray(d))
                              for d in job._moe_drop_parts))
                 r["moe_dropped_tokens"] = nd
-                self.moe_dropped_tokens += nd
+                self._moe_dropped_host += nd
         results.append(r)
 
     # ------------------------------------------------------------------

@@ -21,3 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# burst decode off by default under pytest: each burst variant is an
+# extra lax.scan compile per bucket combo, which on the CPU interpreter
+# pushed the generator suite past its timeout. Dedicated burst tests
+# opt back in with DynamicGenerator(decode_burst=8).
+os.environ.setdefault("DECODE_BURST", "1")

@@ -292,6 +292,42 @@ def test_scheduler_fuzz_invariants(setup, seed):
         == len(gen.pages) - 1
 
 
+def test_burst_decode_matches_single_step(setup):
+    """Burst decode (k tokens per dispatch, lax.scan through the device
+    hist) must emit exactly what per-token dispatch emits — greedy, with
+    a stop string hit mid-burst (rows past the stop are wasted, never
+    emitted), and with max_new_tokens capping."""
+    model = setup
+    prompt = "burst decode check"
+    base = _gen(model, decode_burst=1).generate(
+        prompt, max_new_tokens=24, settings=Settings.greedy())
+    got = _gen(model, decode_burst=8).generate(
+        prompt, max_new_tokens=24, settings=Settings.greedy())
+    assert got == base
+
+    # stop string honored mid-burst (post-hoc per-token processing)
+    if len(base) >= 6:
+        stop = base[3:6]
+        b1 = _gen(model, decode_burst=1).generate(
+            prompt, max_new_tokens=24, settings=Settings.greedy(),
+            stop_conditions=[stop])
+        b8 = _gen(model, decode_burst=8).generate(
+            prompt, max_new_tokens=24, settings=Settings.greedy(),
+            stop_conditions=[stop])
+        assert b8 == b1
+        assert stop not in b8
+
+    # sampled path: bursts use a fold_in key schedule (a different but
+    # equally valid sample stream) — just assert it runs and respects caps
+    s = Settings(temperature=0.9, top_k=20)
+    gen = _gen(model, decode_burst=8)
+    job = gen.enqueue(DynamicJob(np.asarray([5, 9, 100], np.int32),
+                                 max_new_tokens=11, settings=s))
+    while job.status != "done":
+        gen.iterate()
+    assert job.new_tokens == 11
+
+
 def test_merged_prescale_generator_equivalence(setup):
     """DynamicGenerator(merged_weights=True, prescale=True) — the
     single-chip decode fast path (merged q|k|v / gate|up streams +
