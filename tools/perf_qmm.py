@@ -103,8 +103,9 @@ def dma_only():
             nt = n // 2
 
         def kernel(p_ref, o_ref):
-            s = jnp.sum(p_ref[:].astype(jnp.float32), axis=0,
-                        keepdims=True)                        # [1, nt]
+            # Mosaic has no uint32->f32 convert; bitcast to int32 first
+            v = pltpu.bitcast(p_ref[:], jnp.int32).astype(jnp.float32)
+            s = jnp.sum(v, axis=0, keepdims=True)             # [1, nt]
             o_ref[:] = jnp.broadcast_to(s, o_ref.shape)       # [8, nt]
 
         def f(p):
@@ -116,6 +117,8 @@ def dma_only():
                 out_specs=pl.BlockSpec((8, nt), lambda i, j: (0, i),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
             )(p)
 
         t = _time(f, plane)
@@ -204,9 +207,11 @@ def _run_gp(mode, kt=1024, nt=2048):
     for k, n in SHAPES:
         plane, qs, smax, x = _mk_inputs(k, n)
         ntt = nt if n % nt == 0 else n // 2
-        ktt = kt if k % kt == 0 else k // 4   # 11008 = 4*2752? no -> 2752
-        if k % ktt:
-            ktt = 688 * 2                      # 11008 = 8*1376
+        # largest k-tile <= kt that divides k into a whole, 8-divisible
+        # number of groups (Mosaic sublane rule on the [gt, nt] scale
+        # block); full-K tile otherwise (block == array dim is legal)
+        ktt = max((d for d in range(GR, kt + 1, GR)
+                   if k % d == 0 and (d // GR) % 8 == 0), default=k)
         f = build(k, n, ktt, ntt)
         if mode == "int8":
             xq = jnp.clip(jnp.round(x * 12), -127, 127).astype(jnp.int8)
@@ -254,7 +259,8 @@ def _run_nibble(kt0=1024, nt0=2048, dot_mode="batched"):
         xq = jnp.clip(jnp.round(x * 12), -127, 127).astype(jnp.int8)
         x1 = jnp.sum(xq.reshape(M, k // GR, GR).astype(jnp.float32), axis=2)
         nt = nt0 if n % nt0 == 0 else n // 2
-        kt = kt0 if k % kt0 == 0 else 1376
+        kt = max((d for d in range(GR, kt0 + 1, GR)
+                  if k % d == 0 and (d // GR) % 8 == 0), default=k)
         gt = kt // GR
         kq = kt // 8                              # u32 word rows per block
 
