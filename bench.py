@@ -401,6 +401,9 @@ def main():
         if left() > 240:
             _sweep_leg("sweep_7b_gptq_gs128_tokens_per_s", "7b", 4,
                        "gptq", _GPTQ_BASELINES["7b"])
+        if left() > 420:
+            _sweep_leg("sweep_13b_exl2_4bpw_tokens_per_s", "13b", 4,
+                       "exl2", _SWEEP_BASELINES[("13b", 4)])
 
     _promote_best()
 

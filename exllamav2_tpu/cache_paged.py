@@ -65,6 +65,9 @@ class PagedKVCache:
                              KQ.data_dtype(k))
             scales = None
             if k in ("q4", "q8"):
+                # bf16 storage (Mosaic has no f16); the codec quantizes
+                # against the exact stored value (kvquant scale
+                # consistency) so no storage-rounding noise survives
                 scales = jnp.zeros(
                     (num_layers, kv_heads, rows, KQ.num_groups(head_dim)),
                     jnp.bfloat16)

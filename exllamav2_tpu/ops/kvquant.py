@@ -111,7 +111,8 @@ def kv_quant(x: jax.Array, kind: str):
     absmax = jnp.max(jnp.abs(r), axis=-1, keepdims=True)
     absmax = jnp.maximum(absmax, 1e-8)
     if kind == "q4":
-        q = jnp.clip(jnp.round(r / absmax * 8.0 + 8.0), 0, 15)
+        s = _bf16_scale_consistent(absmax, 8.0)        # [..., G, 1] f32
+        q = jnp.clip(jnp.round(r / s + 8.0), 0, 15)
         q = q.reshape(*x.shape[:-1], d).astype(jnp.uint8)
         # half-split packing: byte j = el[j] | el[j + d/2] << 4, so unpack
         # is two masked halves concatenated in natural element order — no
@@ -119,14 +120,30 @@ def kv_quant(x: jax.Array, kind: str):
         lo = q[..., :d // 2]
         hi = q[..., d // 2:]
         data = lo | (hi << 4)
-        scales = (absmax[..., 0] / 8.0).astype(jnp.bfloat16)
-        return data, scales
+        return data, s[..., 0].astype(jnp.bfloat16)
     if kind == "q8":
-        q = jnp.clip(jnp.round(r / absmax * 128.0 + 128.0), 0, 255)
+        s = _bf16_scale_consistent(absmax, 128.0)
+        q = jnp.clip(jnp.round(r / s + 128.0), 0, 255)
         data = q.astype(jnp.uint8).reshape(*x.shape[:-1], d)
-        scales = (absmax[..., 0] / 128.0).astype(jnp.bfloat16)
-        return data, scales
+        return data, s[..., 0].astype(jnp.bfloat16)
     raise ValueError(kind)
+
+
+def _bf16_scale_consistent(absmax: jax.Array, qmax: float) -> jax.Array:
+    """Group scale, pre-rounded to its bf16 STORAGE value (rounded up a
+    ulp when bf16 rounded it down). Quantizing against the exact stored
+    scale removes the scale-mismatch noise that fp16 storage would have
+    avoided (Mosaic has no f16, so bf16 storage is forced — reference
+    stores fp16, cache_q.cuh s_buffer); rounding up keeps |r/s| <= qmax
+    so the clamp never adds error beyond the reference's own. Returns
+    f32 [..., G, 1] equal to the bf16 value."""
+    s = (absmax / qmax).astype(jnp.bfloat16)
+    sf = s.astype(jnp.float32)
+    bumped = jax.lax.bitcast_convert_type(
+        s, jnp.uint16) + jnp.uint16(1)
+    s_up = jax.lax.bitcast_convert_type(
+        bumped, jnp.bfloat16).astype(jnp.float32)
+    return jnp.where(sf * qmax < absmax, s_up, sf)
 
 
 def kv_dequant(data: jax.Array, scales: jax.Array | None, kind: str,
