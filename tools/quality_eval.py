@@ -194,6 +194,25 @@ def render(res) -> str:
             for k in CACHE_KINDS[1:]]
         l.append(f"| {name} | " + " | ".join(cells) + " |")
     l.append("")
+    l.append("### Why fp8 beats q4 here but not in the reference's table\n")
+    l.append("The reference publishes Q4-cache *better* than FP8 (ppl "
+             "11.60 vs 11.92, `doc/qcache_eval.md:32`). That ordering is "
+             "a property of its FP8 codec, not its Q4: reference FP8 is "
+             "fp16-bit **truncation** to e5m2 (`cache.cu:25-37`), with "
+             "round-trip rel-RMSE ≈ 0.10 — *worse* than its own Q4 codec "
+             "(≈ 0.08). Our FP8 uses round-to-nearest e5m2 (rel-RMSE "
+             "≈ 0.053), strictly more accurate, which legitimately flips "
+             "the ordering. A numpy golden of the reference codec "
+             "(`tests/test_cache_codec_golden.py`) verifies per "
+             "activation distribution that (a) our q4/q8 round-trip RMSE "
+             "matches the reference codec's — the q4 codec is **not** "
+             "diverging — and (b) the reference's own semantics "
+             "reproduce its published inversion. Our scales store as "
+             "bf16 (Mosaic has no f16) but quantize against the exact "
+             "stored value rounded up a ulp, so no storage-rounding "
+             "noise survives; on iid/scaled/outlier distributions ours "
+             "beats the reference's fp16-scale codec (0.83–1.0× its "
+             "RMSE).\n")
     l.append("## K-sensitive (peaked-attention) fixture\n")
     l.append("The flat table above under-weights K-cache error: a "
              "random-init net attends near-uniformly, so perturbing the "
