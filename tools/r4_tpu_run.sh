@@ -48,3 +48,7 @@ python tools/convert_serve_check.py --check /tmp/r4_tpu.json \
 #    counts; full failure tails)
 QMM_GROUP=128 timeout 2400 python -u tools/perf_qmm.py 2>&1 | tail -12 \
     | tee /tmp/perf_r4_gs128.log
+
+# 7. real-TPU feature smokes: ngram + draft spec decode (greedy-equal),
+#    CFG, q4/q8/q6/fp8 cache serving — prior evidence was CPU-only
+timeout 2700 python -u tools/tpu_feature_smoke.py 2>&1 | tail -10
