@@ -98,7 +98,13 @@ def _err_detail(e, limit=500):
 
 def main():
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET_S", 420))
+    # Round-4 postmortem: the 420 s default left every serving/sweep leg
+    # unmeasured (headline warmup compiles consumed it all) while the
+    # driver itself imposed no cap — it ran bench.py to completion and
+    # recorded rc=0. Emission stays incremental, so even a hard external
+    # kill captures everything measured up to that point; the budget is
+    # only a graceful-degradation ladder, not a safety requirement.
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1500))
     import functools
     from exllamav2_tpu.utils.testing import random_model_weights
     from exllamav2_tpu.models.forward import model_forward
@@ -143,12 +149,16 @@ def main():
         # (7 -> 4 kernel calls per layer; ops/dequant.merge_serving_weights)
         from exllamav2_tpu.ops.dequant import merge_serving_weights
         w = merge_serving_weights(w)
-    if os.environ.get("BENCH_PRESCALE") == "1":
-        # opt-in decode experiment: stream load-time-decoded bf16 group
-        # scales instead of the in-kernel sqrt decode (+6% weight bytes,
-        # ~2 fewer VPU ops/value; ops/dequant.precompute_model_scales)
+    if os.environ.get("BENCH_PRESCALE", "1") == "1":
+        # PRODUCTION DEFAULT (round 5): stream load-time-decoded bf16
+        # group scales instead of the in-kernel sqrt decode (+6% weight
+        # bytes, ~2 fewer VPU ops/value; measured +4.7% on-chip round 4).
+        # Exact arithmetic — the same decode done once at load. Kill
+        # switch: BENCH_PRESCALE=0 (the base A/B leg also measures the
+        # unprescaled rate for the record).
         from exllamav2_tpu.ops.dequant import precompute_model_scales
         w = precompute_model_scales(w)
+        _EXTRA["headline_config"] = "prescale"
 
     @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
     def decode(w, tok, cache, past_len, attn_limit):
@@ -195,11 +205,118 @@ def main():
     if skip_extra:
         return
 
+    # ---- LEG ORDER = INFORMATION VALUE (round-5 restructure). Round 4
+    # lost every serving row because the legs ran cheapest-first and the
+    # budget died in warmup compiles (VERDICT r4 weak #1). The serving
+    # aggregate is the product metric (the reference's published table
+    # is its serving story, README.md:58-75), so it runs FIRST after the
+    # headline; scan/sweep/A-B diagnostics run last.
+
+    # ---- serving aggregate: DynamicGenerator continuous batching ----
+    # (aggregate gen t/s + p50 TTFT across concurrent jobs through the
+    # full scheduler/sampler stack). BENCH_SERVING=0 skips (leg
+    # iteration in interactive sessions).
+    serving_on = os.environ.get("BENCH_SERVING", "1") == "1"
+    if serving_on and left() > 60:
+        try:
+            _bench_serving(w, st)
+            _emit()
+        except Exception as e:                      # never lose the record
+            _EXTRA["serving_error"] = _err_detail(e)
+            _emit()
+
+    # throughput-mode serving: 16 concurrent jobs, burst 16 (latency
+    # traded for aggregate; sweep measured 483 t/s vs 253 at 8/8)
+    if serving_on and left() > 120:
+        try:
+            _bench_serving(w, st, n_jobs=16, gen_len=48, pages=20,
+                           burst=16, prefix="serving16_")
+            _emit()
+        except Exception as e:
+            _EXTRA["serving16_error"] = _err_detail(e)
+            _emit()
+
+    # ---- W4A8 opt-in decode (round 5): per-token per-group absmax
+    # int8 activations + int8-MXU scales-on-partials kernel — the one
+    # identified lever past the v5e VPU-convert bound on exact EXL2
+    # semantics (601 vs 376 GB/s probed, docs/DESIGN.md). Approximate
+    # (quality cost in QUALITY.md), reported as its own row, never
+    # promoted to the (exact-semantics) headline. BENCH_W4A8=0 skips.
+    if os.environ.get("BENCH_W4A8", "1") == "1" and left() > 120:
+        try:
+            from exllamav2_tpu.ops.dequant import enable_w4a8
+            w8 = enable_w4a8(w)
+            cache_w = KVCache.alloc(st.num_layers, 1, max_seq,
+                                    st.num_kv_heads, st.head_dim)
+            tok = jnp.ones((1, 1), jnp.int32)
+            for i in range(3):
+                p = prefill + i
+                tok, cache_w = decode(w8, tok, cache_w, jnp.int32(p),
+                                      limit(p + 1))
+            np.asarray(tok)
+            t0 = time.perf_counter()
+            w8_steps = max(32, steps // 2)
+            for i in range(w8_steps):
+                p = prefill + 3 + i
+                tok, cache_w = decode(w8, tok, cache_w, jnp.int32(p),
+                                      limit(p + 1))
+            np.asarray(tok)
+            tps8 = w8_steps / (time.perf_counter() - t0)
+            _EXTRA["w4a8_tokens_per_s"] = round(tps8, 2)
+            _EXTRA["w4a8_vs_baseline"] = round(tps8 / _BASE[0], 4)
+            del cache_w, w8
+        except Exception as e:                      # never lose the record
+            _EXTRA["w4a8_tokens_per_s_error"] = _err_detail(e)
+        _emit()
+
+    # ---- prefill TTFT: 512-token prompt -> first sampled token ----
+    if left() > 30:
+        ids = jnp.ones((1, prefill), jnp.int32)
+        cache_p = KVCache.alloc(st.num_layers, 1, max_seq, st.num_kv_heads,
+                                st.head_dim)
+        t, cache_p = prefill_step(w, ids, cache_p, limit(prefill))
+        np.asarray(t)                    # warm the compile
+        times = []
+        for _ in range(3):
+            cache_p = KVCache.alloc(st.num_layers, 1, max_seq,
+                                    st.num_kv_heads, st.head_dim)
+            t0 = time.perf_counter()
+            t, cache_p = prefill_step(w, ids, cache_p, limit(prefill))
+            np.asarray(t)
+            times.append(time.perf_counter() - t0)
+        _EXTRA["ttft_512_ms"] = round(sorted(times)[1] * 1000, 1)
+        _EXTRA["prefill_tokens_per_s"] = round(prefill / sorted(times)[1], 1)
+        _emit()
+        del cache_p
+
+    # ---- batched decode throughput (batch 8, same weights) ----
+    if left() > 30:
+        cache_b = KVCache.alloc(st.num_layers, bsz, 1024, st.num_kv_heads,
+                                st.head_dim)
+        tok = jnp.ones((bsz, 1), jnp.int32)
+        for i in range(2):
+            tok, cache_b = decode(w, tok, cache_b, jnp.int32(256 + i),
+                                  limit(257 + i))
+        np.asarray(tok)
+        t0 = time.perf_counter()
+        for i in range(batch_steps):
+            p = 258 + i
+            tok, cache_b = decode(w, tok, cache_b, jnp.int32(p),
+                                  limit(p + 1))
+        np.asarray(tok)
+        bdt = time.perf_counter() - t0
+        _EXTRA["batched_tokens_per_s"] = round(bsz * batch_steps / bdt, 1)
+        _EXTRA["batch_size"] = bsz
+        _emit()
+        del cache_b
+
     # ---- scan decode: 32 tokens per dispatch (lax.scan) — the XLA
     # analog of the reference's CUDA-graph launch amortization
     # (q_attn.cu:153-210). Identical math and cache; through the axon
     # tunnel every per-token dispatch costs ~1 ms that a production
     # host never pays, so this leg shows the on-chip decode rate.
+    # Diagnostic only: never promoted to the headline (the reference's
+    # number is per-token dispatch).
     if os.environ.get("BENCH_SCAN", "1") == "1" and left() > 90:
         try:
             cache_s = KVCache.alloc(st.num_layers, 1, max_seq,
@@ -244,80 +361,19 @@ def main():
             _EXTRA["scan_decode_tokens_per_s_error"] = _err_detail(e)
         _emit()
 
-    # ---- prefill TTFT: 512-token prompt -> first sampled token ----
-    if left() > 30:
-        ids = jnp.ones((1, prefill), jnp.int32)
-        cache_p = KVCache.alloc(st.num_layers, 1, max_seq, st.num_kv_heads,
-                                st.head_dim)
-        t, cache_p = prefill_step(w, ids, cache_p, limit(prefill))
-        np.asarray(t)                    # warm the compile
-        times = []
-        for _ in range(3):
-            cache_p = KVCache.alloc(st.num_layers, 1, max_seq,
-                                    st.num_kv_heads, st.head_dim)
-            t0 = time.perf_counter()
-            t, cache_p = prefill_step(w, ids, cache_p, limit(prefill))
-            np.asarray(t)
-            times.append(time.perf_counter() - t0)
-        _EXTRA["ttft_512_ms"] = round(sorted(times)[1] * 1000, 1)
-        _EXTRA["prefill_tokens_per_s"] = round(prefill / sorted(times)[1], 1)
-        _emit()
-        del cache_p
-
-    # ---- batched decode throughput (batch 8, same weights) ----
-    if left() > 30:
-        cache_b = KVCache.alloc(st.num_layers, bsz, 1024, st.num_kv_heads,
-                                st.head_dim)
-        tok = jnp.ones((bsz, 1), jnp.int32)
-        for i in range(2):
-            tok, cache_b = decode(w, tok, cache_b, jnp.int32(256 + i),
-                                  limit(257 + i))
-        np.asarray(tok)
-        t0 = time.perf_counter()
-        for i in range(batch_steps):
-            p = 258 + i
-            tok, cache_b = decode(w, tok, cache_b, jnp.int32(p),
-                                  limit(p + 1))
-        np.asarray(tok)
-        bdt = time.perf_counter() - t0
-        _EXTRA["batched_tokens_per_s"] = round(bsz * batch_steps / bdt, 1)
-        _EXTRA["batch_size"] = bsz
-        _emit()
-        del cache_b
-
-    # ---- serving aggregate: DynamicGenerator continuous batching ----
-    # (bench_serving-path companion: aggregate gen t/s + p50 TTFT across
-    # concurrent jobs through the full scheduler/sampler stack)
-    if left() > 60:
-        try:
-            _bench_serving(w, st)
-            _emit()
-        except Exception as e:                      # never lose the record
-            _EXTRA["serving_error"] = _err_detail(e)
-            _emit()
-
-    # throughput-mode serving: 16 concurrent jobs, burst 16 (latency
-    # traded for aggregate; sweep measured 483 t/s vs 253 at 8/8)
-    if left() > 150:
-        try:
-            _bench_serving(w, st, n_jobs=16, gen_len=48, pages=20,
-                           burst=16, prefix="serving16_")
-            _emit()
-        except Exception as e:
-            _EXTRA["serving16_error"] = _err_detail(e)
-            _emit()
-
     # ---- decode-push A/B legs, in-process so the record is driver-
-    # captured even when no interactive TPU session is available:
-    # merged q|k|v / gate|up streams and precomputed bf16 scales
-    # (ops/dequant; VERDICT r2 item 3a/3b). Each leg pays one fresh
-    # compile; gated on remaining budget and skippable via BENCH_AB=0.
+    # captured even when no interactive TPU session is available.
+    # With prescale now the production default, the A/B legs measure
+    # (a) the UNprescaled base rate for the record and (b) the merged
+    # q|k|v / gate|up streams on top of prescale (the one remaining
+    # exact candidate). Each leg pays one fresh compile; gated on
+    # remaining budget and skippable via BENCH_AB=0.
     if os.environ.get("BENCH_AB", "1") != "1":
         _promote_best()
         return
     if (os.environ.get("BENCH_MERGED") == "1"
-            or os.environ.get("BENCH_PRESCALE") == "1"):
-        return                                      # w already transformed
+            or os.environ.get("BENCH_PRESCALE", "1") != "1"):
+        return                                      # w already off-default
     ab_steps = max(32, steps // 2)
 
     def _ab_leg(name, make_weights):
@@ -344,17 +400,21 @@ def main():
         _emit()
 
     if left() > 120:
-        from exllamav2_tpu.ops.dequant import merge_serving_weights
-        _ab_leg("merged_tokens_per_s", lambda: merge_serving_weights(w))
-    if left() > 120:
-        from exllamav2_tpu.ops.dequant import precompute_model_scales
-        _ab_leg("prescale_tokens_per_s",
-                lambda: precompute_model_scales(w))
-    if left() > 120:
+        # merge drops scale_f on the merged segments (exact re-merge of
+        # the raw planes); re-prescaling restores full-width bf16 scales
         from exllamav2_tpu.ops.dequant import (merge_serving_weights,
                                                precompute_model_scales)
         _ab_leg("merged_prescale_tokens_per_s",
                 lambda: precompute_model_scales(merge_serving_weights(w)))
+    if left() > 150:
+        # unprescaled base rate, regenerated from the same seed (keeps
+        # peak HBM flat — holding two 7B weight sets alongside the
+        # serving pools OOMed in round-3 postmortems)
+        def _raw():
+            wr, _ = random_model_weights(max_seq=max_seq, bits=bits,
+                                         seed=0, fmt=fmt, **GEOMS[geom])
+            return wr
+        _ab_leg("base_tokens_per_s", _raw)
 
     # ---- reference-table sweep rows (README.md:65-75), in-process so the
     # driver records them without a manual TPU session. Each row carries
@@ -409,19 +469,19 @@ def main():
 
 
 def _promote_best():
-    # promote the fastest exact-semantics configuration to the headline
-    # (all legs are bitwise-equivalent decode paths of the same model;
-    # DynamicGenerator exposes them via merged_weights= / prescale=, and
-    # scan decode is the same greedy loop in one dispatch). The base
-    # number stays on the record as extra.base_tokens_per_s.
-    best_key = max((k for k in ("merged_tokens_per_s",
-                                "prescale_tokens_per_s",
-                                "merged_prescale_tokens_per_s",
-                                "scan_decode_tokens_per_s")
+    # promote the fastest exact-semantics per-token-dispatch config to
+    # the headline (all candidates are bitwise-equivalent decode paths
+    # of the same model; DynamicGenerator exposes them via
+    # merged_weights=/prescale=). scan_decode is NOT a candidate — its
+    # 32-token single dispatch amortizes the ~1 ms tunnel cost the
+    # reference's per-token number always pays, so promoting it would
+    # make vs_baseline incomparable (VERDICT r4 weak #5). base_ is the
+    # informational unprescaled rate; it is slower by construction.
+    best_key = max((k for k in ("merged_prescale_tokens_per_s",)
                     if k in _EXTRA),
                    key=lambda k: _EXTRA[k], default=None)
     if best_key is not None and _EXTRA[best_key] > _TPS[0]:
-        _EXTRA["base_tokens_per_s"] = round(_TPS[0], 2)
+        _EXTRA["prescale_tokens_per_s"] = round(_TPS[0], 2)
         _EXTRA["headline_config"] = best_key[:-len("_tokens_per_s")]
         _TPS[0] = _EXTRA[best_key]
         _emit()

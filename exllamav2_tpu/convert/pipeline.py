@@ -428,7 +428,8 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
                   head_bits: int = 6, cal_rows: int = 8,
                   cal_len: int = 256, cal_text: str | None = None,
                   seed: int = 0, progress=print,
-                  shard_size_mb: float = 8192) -> str:
+                  shard_size_mb: float = 8192,
+                  status_output: bool = False) -> str:
     """Convert an FP16/BF16 checkpoint to EXL2 at `bits` average bpw.
 
     head_bits: 2..8 quantizes lm_head at that width (reference
@@ -436,7 +437,11 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     shard_size_mb: outputs larger than this split into numbered
     safetensors shards with a weight-map index (reference
     compile.py:176+ output_shard_size; 0 disables splitting).
+    status_output: emit machine-parseable [STATUS]{...}[/STATUS] stage
+    lines (reference conversion/bot_status.py protocol; stage names
+    match measure.py:453 / quantize.py / compile.py:178).
     """
+    from exllamav2_tpu.convert.bot_status import print_stage
     os.makedirs(out_dir, exist_ok=True)
     quant_dir = os.path.join(out_dir, "quant")
     os.makedirs(quant_dir, exist_ok=True)
@@ -528,6 +533,8 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
                 with open(meas_path, "w") as f:
                     json.dump(meas, f)
                 progress(f" -- measured layer {l + 1}/{st.num_layers}")
+                print_stage(status_output, "Measuring", l + 1,
+                            st.num_layers)
             # advance states through an RTN reconstruction at the
             # representative option (deterministic, so resume re-derives
             # identical states)
@@ -567,6 +574,7 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
         job["stage"] = "quantize"
         save_job()
         progress(" -- optimized bit allocation")
+        print_stage(status_output, "Optimizing", 1, 1)
 
     strategy = {k: int(v) for k, v in job.get("strategy", {}).items()}
 
@@ -609,6 +617,8 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
             hs, _ = _layer_forward_capture(lw2, st, hs, sin, cos,
                                            want_caps=False)
             progress(f" -- quantized layer {l + 1}/{st.num_layers}")
+            print_stage(status_output, "Quantizing", l + 1,
+                        st.num_layers)
 
         # lm_head at head_bits (quantize.py:443-543)
         if quantize_head:
@@ -621,6 +631,7 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
                 t, _recon = _quantize_sub(sub, head_qp, cap, {})
                 write_safetensors(head_path, t)
                 progress(f" -- quantized lm_head ({head_qp.desc})")
+                print_stage(status_output, "Quantizing (head)", 1, 1)
         job["stage"] = "compile"
         save_job()
 
@@ -678,6 +689,7 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     job["stage"] = "done"
     save_job()
     progress(f" -- compiled -> {out_dir}")
+    print_stage(status_output, "Compiling", 1, 1)
     return out_dir
 
 

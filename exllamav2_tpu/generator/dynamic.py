@@ -194,7 +194,8 @@ class DynamicGenerator:
                  num_draft_tokens: int = 4, use_ngram_draft: bool = False,
                  max_ngram: int = 4, mesh=None,
                  merged_weights: bool = False,
-                 prescale: bool = False,
+                 prescale: bool | None = None,
+                 w4a8: bool = False,
                  decode_burst: int | None = None):
         # burst decode: up to this many tokens per dispatch when no job
         # needs per-step host intervention (_get_decode_burst_fn). 8 is
@@ -222,18 +223,16 @@ class DynamicGenerator:
         self.mesh = mesh
         self._tp_fused = False
         self._merged_weights = bool(merged_weights and mesh is None)
-        if mesh is not None and (merged_weights or prescale):
+        if mesh is not None and merged_weights:
             # the fused shard_map program has its own per-shard weight
-            # layout; these single-chip decode transforms don't compose
-            # with it (yet) — warn loudly instead of silently dropping
-            # the flags (VERDICT r3 weak #4)
+            # layout; a column shard of a merged array would interleave
+            # q|k|v boundaries — warn loudly instead of silently
+            # dropping the flag (VERDICT r3 weak #4)
             import warnings
-            dropped = [n for n, v in (("merged_weights", merged_weights),
-                                      ("prescale", prescale)) if v]
             warnings.warn(
-                f"DynamicGenerator: {'/'.join(dropped)} not supported "
-                f"with mesh= (fused TP path); ignoring. Run single-chip "
-                f"or drop the flag to silence this.", stacklevel=2)
+                "DynamicGenerator: merged_weights not supported with "
+                "mesh= (fused TP path); ignoring. Run single-chip or "
+                "drop the flag to silence this.", stacklevel=2)
         self._fwd_last = self._fwd_full = None
         if merged_weights and mesh is None:
             # single-chip decode fast path: merged q|k|v and gate|up
@@ -242,14 +241,38 @@ class DynamicGenerator:
             from exllamav2_tpu.ops.dequant import merge_serving_weights
             model = _Model(merge_serving_weights(model.weights),
                            model.static, model.config)
-        if prescale and mesh is None:
-            # stream load-time-decoded bf16 group scales instead of the
-            # in-kernel sqrt decode (+6% weight bytes, fewer VPU ops;
-            # exact — the decode is the same arithmetic done once)
+        if prescale is None:
+            # PRODUCTION DEFAULT (round 5): load-time-decoded bf16 group
+            # scales won the round-4 on-chip A/B (+4.7%, exact — the
+            # same decode arithmetic done once). EXL2_TPU_PRESCALE=0 is
+            # the kill switch.
+            prescale = _os.environ.get("EXL2_TPU_PRESCALE", "1") == "1"
+        if prescale:
+            # idempotent (segments carrying scale_f are skipped), and
+            # composes with the fused-TP path: scale_f rows shard like
+            # every other per-group meta array (parallel/sharding.py)
             from exllamav2_tpu.models.model import Model as _Model
             from exllamav2_tpu.ops.dequant import precompute_model_scales
             model = _Model(precompute_model_scales(model.weights),
                            model.static, model.config)
+        if w4a8:
+            # OPT-IN approximate decode mode: per-token per-group absmax
+            # int8 activations feeding the int8-MXU partials kernel
+            # (ops/qmm._w4a8_segment_matmul) — ~1.6x the exact kernel's
+            # HBM rate; NOT exact quantized-model semantics (quality
+            # cost measured in QUALITY.md). Decode path only: prefill
+            # (>32 rows) stays on exact dequant, and the lm_head stays
+            # exact (enable_w4a8 skip_head).
+            if mesh is not None:
+                import warnings
+                warnings.warn(
+                    "DynamicGenerator: w4a8 not supported with mesh= "
+                    "(fused TP path); ignoring.", stacklevel=2)
+            else:
+                from exllamav2_tpu.models.model import Model as _Model
+                from exllamav2_tpu.ops.dequant import enable_w4a8
+                model = _Model(enable_w4a8(model.weights),
+                               model.static, model.config)
         if mesh is not None:
             import dataclasses as _dc
             from exllamav2_tpu.models.model import Model as _Model
@@ -494,6 +517,13 @@ class DynamicGenerator:
                 job.slot = -1
             job.status = "done"
             job.eos_reason = "cancelled"
+            if job._moe_drop_parts:
+                # fold accumulated drop scalars into the generator total
+                # — a cancelled job never reaches the finish path that
+                # normally does this (ADVICE r4 low)
+                self._moe_dropped_host += int(sum(
+                    int(np.asarray(d)) for d in job._moe_drop_parts))
+                job._moe_drop_parts.clear()
 
     def clear_queue(self):
         """Cancel every pending and active job (reference clear_queue)."""
@@ -539,8 +569,18 @@ class DynamicGenerator:
         """Attach/detach PEFT adapters (reference set_loras): rebuilds
         the weight pytree with LoraLinear wraps and clears the compiled
         cache (one recompile per change, then zero per-step overhead).
-        Pass None or [] to detach all."""
+        Pass None or [] to detach all.
+
+        No-op when the requested adapter set is already attached: the
+        reference-style usage passes the same LoRA objects on every
+        begin_stream_ex call, and rebuilding the pytree clears the
+        compiled cache — a full recompile per request (ADVICE r4
+        medium)."""
         from exllamav2_tpu.lora import apply_lora, remove_lora
+        requested = tuple(id(l) for l in (loras or []))
+        if requested == getattr(self, "_active_loras", ()):
+            return
+        self._active_loras = requested
         if getattr(self, "_tp_fused", False):
             # fused TP path (reference analog: LoRA through the fused TP
             # attention/MLP, attn.py:528-547): weave LoraLinear leaves
@@ -888,10 +928,17 @@ class DynamicGenerator:
         moe_stats = self._moe_prefill_stats()
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def fn(w, cache, ids, block_table, cache_seqlen):
+        def fn(w, cache, ids, block_table, cache_seqlen, lens=None):
             from exllamav2_tpu.models import forward as F
             if moe_stats:
                 F._MOE_STATS[0] = []
+                if lens is not None:
+                    # pad rows/columns must not route (they'd consume
+                    # expert capacity and inflate the drop counter)
+                    b, t = ids.shape
+                    valid = (jnp.arange(t, dtype=jnp.int32)[None, :]
+                             < lens[:, None])
+                    F._MOE_VALID[0] = valid.reshape(-1)
             try:
                 _, cache = self._paged_forward(
                     w, ids, cache, block_table, cache_seqlen,
@@ -903,6 +950,7 @@ class DynamicGenerator:
             finally:
                 if moe_stats:
                     F._MOE_STATS[0] = None
+                    F._MOE_VALID[0] = None
             if moe_stats:
                 return cache, dropped
             return cache
@@ -1342,12 +1390,16 @@ class DynamicGenerator:
         ids_a = np.zeros((b_bucket, t_bucket), np.int32)
         bt = np.zeros((b_bucket, p_bucket), np.int32)
         pos_a = np.zeros((b_bucket,), np.int32)
+        lens_a = np.zeros((b_bucket,), np.int32)
         for i, (job, pos, end) in enumerate(chunks):
             ids_a[i, :end - pos] = job.prompt_ids[pos:end]
             bt[i] = self._job_block_table(job, p_bucket)
             pos_a[i] = pos
+            lens_a[i] = end - pos
         fn = self._get_prefill_fn(t_bucket, p_bucket)
-        out = fn(self.model.weights, self.cache, ids_a, bt, pos_a)
+        lens = jnp.asarray(lens_a) if self._moe_prefill_stats() else None
+        out = fn(self.model.weights, self.cache, ids_a, bt, pos_a,
+                 lens=lens)
         if isinstance(out, tuple):
             # batch-total MoE drops can't be attributed per job; they
             # fold into the generator counter lazily (property below)
@@ -1412,7 +1464,10 @@ class DynamicGenerator:
             self.cache = self._take_moe_drops(out, job)
         else:
             fn = self._get_prefill_fn(t_bucket, p_bucket)
-            out = fn(self.model.weights, self.cache, chunk, bt, pos_a)
+            lens = (jnp.asarray(np.asarray([t], np.int32))
+                    if self._moe_prefill_stats() else None)
+            out = fn(self.model.weights, self.cache, chunk, bt, pos_a,
+                     lens=lens)
             self.cache = self._take_moe_drops(out, job)
         if self.draft_model is not None and not stream2 \
                 and not job.embeddings:
@@ -1558,8 +1613,16 @@ class DynamicGenerator:
         # banned-string rewinds) and every job has room for k rows in
         # its own pages. Pending jobs force k=1 so new-job TTFT doesn't
         # stall behind a burst.
+        # a job with a LIVE filter must decode per-token even when the
+        # current step's mask is None: external filters (lmfe/formatron/
+        # callable) may be unconstrained on one step and constrain the
+        # next while is_completed() stays False — bursting would emit
+        # out-of-grammar tokens past the first (ADVICE r4 high)
+        live_filters = any(
+            not f.is_completed() for j in jobs for f in j.filters)
         if (self.decode_burst > 1 and not any_masked and not topk
                 and not ret_logits and not self.pending
+                and not live_filters
                 and not any(j.banned_strings for j in jobs)):
             room = min(
                 min(j.max_new_tokens - j.new_tokens for j in jobs),
@@ -1573,6 +1636,7 @@ class DynamicGenerator:
                 bfn = self._get_decode_burst_fn(b_bucket, p_bucket, k,
                                                 use_dry, biased, use_pen)
                 kw2 = {"bias_pool": self._bias_pool} if biased else {}
+                t_disp = time.perf_counter()
                 out = bfn(self.model.weights, self.cache, self.hist,
                           bts, seqlens, slots, params, sub, pos_off,
                           **kw2)
@@ -1584,6 +1648,11 @@ class DynamicGenerator:
                 for i, job in enumerate(jobs):
                     job.mirostat_mu = float(mu_h[i])
                 for step in range(k):
+                    # per-token timestamps can't be observed post-hoc;
+                    # spread the dispatch interval evenly so TTFT and
+                    # tokens_per_second stay sane for jobs that start or
+                    # finish mid-burst (ADVICE r4 low)
+                    t_step = t_disp + (now - t_disp) * (step + 1) / k
                     for i, job in enumerate(jobs):
                         if job.status == "done":
                             continue       # mid-burst stop: rows wasted
@@ -1594,8 +1663,8 @@ class DynamicGenerator:
                                                  np.int32(tok))
                         job.new_tokens += 1
                         if job.new_tokens == 1:
-                            job.time_first_token = now
-                        job.time_last_token = now
+                            job.time_first_token = t_step
+                        job.time_last_token = t_step
                         self._update_page_fill(job)
                         self._emit(job, tok, results)
                 return

@@ -381,6 +381,7 @@ def moe_ep_forward(x: jax.Array, mw: EPMoEWeights,
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     mix = jnp.zeros_like(probs).at[
         jnp.arange(probs.shape[0])[:, None], topi].set(topw)
+    mix = _mask_pad_routes(mix, st)
 
     e_local = jax.tree_util.tree_leaves(mw.w1)[0].shape[0]
     if st.tp_axis is not None:
@@ -508,6 +509,23 @@ def _note_moe_drops(dropped, st) -> None:
         _MOE_STATS[0].append(dropped.astype(jnp.int32))
 
 
+# trace-scoped token-validity mask [BT] (or None): bucketed prefill pads
+# batch rows and tail columns with zero ids; without the mask those pad
+# tokens ROUTE — they consume expert capacity (displacing real tokens)
+# and inflate the dropped-route counter (ADVICE r4 low). Set by the
+# generator's prefill programs; same shard_map gating as _MOE_STATS
+# (tracers from the outer trace are not consumable inside a shard_map
+# body).
+_MOE_VALID = [None]
+
+
+def _mask_pad_routes(mix, st):
+    v = _MOE_VALID[0]
+    if v is not None and st.tp_axis is None and v.shape[0] == mix.shape[0]:
+        mix = mix * v.astype(mix.dtype)[:, None]
+    return mix
+
+
 def _moe_dispatch(hb, mix, mw, st):
     """Capacity-based gather/dispatch (the TPU-native prefill MoE shape:
     static [E, C] buffers, sorted-scatter combine — no reference analog;
@@ -588,6 +606,7 @@ def moe_forward(x: jax.Array, mw: MoEWeights, st: StaticModel) -> jax.Array:
     # dense mixing weights [BT, E]
     mix = jnp.zeros_like(probs).at[
         jnp.arange(probs.shape[0])[:, None], topi].set(topw)
+    mix = _mask_pad_routes(mix, st)
 
     # cond-gating pays off where weight streaming dominates (real TPU);
     # on the CPU interpreter it only doubles compile work

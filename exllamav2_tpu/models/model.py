@@ -51,11 +51,24 @@ class Model:
         self.config = config
 
     @classmethod
-    def from_dir(cls, model_dir: str, **cfg_overrides) -> "Model":
+    def from_dir(cls, model_dir: str, prescale: bool | None = None,
+                 **cfg_overrides) -> "Model":
+        import os
         cfg = ModelConfig.from_dir(model_dir)
         for k, v in cfg_overrides.items():
             setattr(cfg, k, v)
         w, st = load_model(cfg)
+        # PRODUCTION DEFAULT (round 5): decode EXL2 sqrt-encoded group
+        # scales once at load into bf16 rows the fused kernel streams
+        # (+4.7% decode measured on-chip, exact arithmetic; see
+        # ops/dequant.precompute_scales_linear). EXL2_TPU_PRESCALE=0 or
+        # prescale=False opts out (e.g. for bitwise golden comparisons
+        # against the fp16 in-kernel decode).
+        if prescale is None:
+            prescale = os.environ.get("EXL2_TPU_PRESCALE", "1") == "1"
+        if prescale:
+            from exllamav2_tpu.ops.dequant import precompute_model_scales
+            w = precompute_model_scales(w)
         return cls(w, st, cfg)
 
     def new_cache(self, batch: int = 1, max_seq: int | None = None,

@@ -170,6 +170,60 @@ def precompute_model_scales(tree):
         f, tree, is_leaf=lambda x: isinstance(x, QuantLinear))
 
 
+def enable_w4a8_linear(lin):
+    """Flag every segment of a QuantLinear for the int8-MXU decode path
+    (ops/qmm._w4a8_segment_matmul): per-token per-group absmax int8
+    activation quantization feeding batched int8 MXU group partials.
+
+    NOT exact quantized-model semantics — an opt-in W4A8 approximation
+    whose quality cost is measured by tools/quality_w4a8.py (QUALITY.md).
+    The exact formulations plateau at the v5e VPU-convert bound
+    (~0.5x HBM peak over three rounds of measurement, docs/DESIGN.md);
+    the int8 form probed 601 GB/s (~1.6x) because the per-value
+    int->bf16 convert disappears — the MXU consumes the 4-bit values as
+    int8 directly and the scale/zero fixups move to the group partials.
+
+    EXL2 segments are prescaled first (the kernel streams bf16 scale_f
+    rows; the sqrt decode doesn't pay for itself once scales apply to
+    partials). Reference analog: none — the reference is W4A16
+    throughout (cuda/q_gemm_kernel.cuh); this mode exists because TPU
+    int8 MXU throughput is the one lever past the convert bound."""
+    import dataclasses
+    from exllamav2_tpu.quant.qtensor import QuantLinear
+    if not isinstance(lin, QuantLinear):
+        return lin
+    lin = precompute_scales_linear(lin)
+    segs = []
+    for seg in lin.segments:
+        if seg.bits > 8:
+            segs.append(seg)
+            continue
+        segs.append(dataclasses.replace(seg, act8=True))
+    return dataclasses.replace(lin, segments=tuple(segs))
+
+
+def enable_w4a8(tree, skip_head: bool = True):
+    """Apply enable_w4a8_linear to every QuantLinear in a model pytree.
+
+    skip_head keeps the lm_head on the exact path: logits feed the
+    sampler directly, so head quantization error lands 1:1 on token
+    probabilities while the head is a single matrix (small fraction of
+    the weight stream)."""
+    import jax as _jax
+    import dataclasses
+    from exllamav2_tpu.quant.qtensor import QuantLinear
+
+    def f(x):
+        return enable_w4a8_linear(x) if isinstance(x, QuantLinear) else x
+
+    head = getattr(tree, "head", None)
+    out = _jax.tree_util.tree_map(
+        f, tree, is_leaf=lambda x: isinstance(x, QuantLinear))
+    if skip_head and head is not None:
+        out = dataclasses.replace(out, head=precompute_model_scales(head))
+    return out
+
+
 def dequant_linear(ql, dtype=jnp.bfloat16, original_order: bool = True) -> jax.Array:
     """Fully dequantize a QuantLinear -> [K, N] (activation/stored order)."""
     w = jnp.concatenate([dequant_segment(s, dtype) for s in ql.segments], axis=0)

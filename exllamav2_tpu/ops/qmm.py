@@ -91,10 +91,15 @@ def _pick_tiles(rows_pad: int, n: int, bits: int, group_rows: int,
                 best = (score, kt, nt)
     if best is None:
         # no tiled kt satisfies the sublane rule (few groups, large K):
-        # a single full-K tile is always legal (block dim == array dim)
+        # a single full-K tile is always legal (block dim == array dim).
+        # Pick the n-tile whose plane block is closest to the same VMEM
+        # target the scored path enforces — the largest divisor at full
+        # K could exceed VMEM once dequantized to bf16 (ADVICE r4 low)
         nts = [nt for nt in _divisors(n, 128, 8192)
                if not (n_unit and n_unit % nt)] or [n]
-        return rows_pad, nts[-1]
+        return rows_pad, min(
+            nts, key=lambda nt: abs(rows_pad * bits // 32 * nt * 4
+                                    - target))
     return best[1], best[2]
 
 
@@ -239,6 +244,153 @@ def _partials_gptq_matmul(x: jax.Array, seg: GptqSegment) -> jax.Array:
     )(x, *seg.planes, seg.scale, seg.zero)
 
 
+def _w4a8_segment_matmul(x: jax.Array, seg) -> jax.Array:
+    """int8-MXU scales-on-partials kernel (the W4A8 opt-in decode path).
+
+    y ~= sum_g a_g * s_g * (xq_g @ vq_g - z_g * sum(xq_g)) where
+    xq = round(x / a) is per-token per-group absmax int8 and vq are the
+    raw packed values consumed as int8 by the MXU (int32 accumulation).
+    The per-VALUE VPU work of the exact kernel (int sub, i32->bf16
+    convert, f32 mul) disappears entirely: fixups apply to the [m, nt]
+    group PARTIALS (~group_rows x fewer ops), which is why this form
+    probed 601 GB/s where every exact variant plateaus at 320-420 GB/s
+    (docs/DESIGN.md round-4 study). NOT exact: activation quantization
+    perturbs logits; quality measured in QUALITY.md (tools/quality_w4a8).
+
+    Reference analog: none — the reference is W4A16 (q_gemm_kernel.cuh).
+    """
+    m_pad, k_pad = x.shape
+    rows_pad = seg.rows_pad
+    assert k_pad == rows_pad, (k_pad, rows_pad)
+    n = seg.planes[0].shape[1]
+    gr = seg.group_rows
+    is_gptq = isinstance(seg, GptqSegment)
+    if not is_gptq:
+        assert seg.scale_f is not None, \
+            "w4a8 EXL2 segments require prescaled scale_f rows " \
+            "(ops/dequant.enable_w4a8_linear applies this)"
+    k_tile, n_tile = _pick_tiles(rows_pad, n, seg.bits, gr, m_pad)
+    gt = k_tile // gr
+    if gt % 8 and k_tile != rows_pad:
+        k_tile = rows_pad
+        gt = rows_pad // gr
+    grid = (n // n_tile, rows_pad // k_tile)
+    g_total = rows_pad // gr
+
+    # per-token per-group absmax int8 activation quantization (in-trace,
+    # [m, K] elementwise — negligible next to the weight stream). The
+    # [G, m, gr] layout is built OUT HERE because Mosaic rejects
+    # in-kernel lane-dim splits ((m, kt) -> (m, gt, gr) "unsupported
+    # shape cast") for any gr that isn't a whole 128-lane register; the
+    # kernel then consumes a 3-D block directly. Group sums ride along
+    # precomputed (one fewer in-kernel reduction).
+    xf = x.astype(jnp.float32).reshape(m_pad, g_total, gr)
+    amax = jnp.max(jnp.abs(xf), axis=2)                   # [m, G]
+    a = amax * jnp.float32(1.0 / 127.0)                   # output scale
+    aq = jnp.where(amax > 0, a, jnp.float32(1.0))
+    xqf = jnp.clip(jnp.round(xf / aq[:, :, None]), -127, 127)
+    xq3 = jnp.transpose(xqf, (1, 0, 2)).astype(jnp.int8)  # [G, m, gr]
+    a_t = a.T                                             # [G, m] f32
+    x1a = jnp.sum(xqf, axis=2).T * a_t                    # [G, m] f32
+
+    # 8-bit planes hold values in [0, 255]: shift into int8 range and
+    # fold the shift into the zero-point term (z - 128; EXL2's implicit
+    # zero 2^(bits-1) = 128 cancels exactly)
+    off = 128 if seg.bits == 8 else 0
+    zero_c = float(2 ** (seg.bits - 1) - off)
+    interp = _interpret()
+
+    def kernel(x_ref, a_ref, x1a_ref, *refs):
+        o_ref = refs[-1]
+        if is_gptq:
+            plane_refs = refs[:-3]
+            scale_ref, zero_ref = refs[-3], refs[-2]
+        else:
+            plane_refs = refs[:-2]
+            scale_ref = refs[-2]
+        vals = D.unpack_planes([r[:] for r in plane_refs], seg.plane_bits)
+        if interp:
+            # CPU interpret path: int8 MXU dots are TPU-only; f32 dots
+            # of the same integer values are bitwise-identical (products
+            # <= 127*255, group sums < 2^24 — exact in f32)
+            rhs = (vals - off).astype(jnp.float32).reshape(gt, gr, n_tile)
+            lhs = x_ref[:].astype(jnp.float32)               # [gt, m, gr]
+            pref = jnp.float32
+        else:
+            # sublane-only split of the weight block (lane dim intact):
+            # supported; the i8 convert is the LAST op before the dot
+            rhs = (vals - off).reshape(gt, gr, n_tile).astype(jnp.int8)
+            lhs = x_ref[:]                                   # [gt, m, gr] i8
+            pref = jnp.int32
+        p = jax.lax.dot_general(
+            lhs, rhs, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=pref)                     # [gt, m, nt]
+        s = scale_ref[:].astype(jnp.float32)                 # [gt, nt]
+        av = a_ref[:]                                        # [gt, m]
+        x1a_v = x1a_ref[:]                                   # [gt, m]
+        pa = p.astype(jnp.float32) * av[:, :, None]
+        if is_gptq:
+            z = zero_ref[:].astype(jnp.float32) - float(off)  # [gt, nt]
+            pc = pa - x1a_v[:, :, None] * z[:, None, :]
+        else:
+            pc = pa - jnp.float32(zero_c) * x1a_v[:, :, None]
+        acc = jnp.sum(pc * s[:, None, :], axis=0)
+        k_step = pl.program_id(1)
+
+        @pl.when(k_step == 0)
+        def _():
+            o_ref[:] = acc
+
+        @pl.when(k_step != 0)
+        def _():
+            o_ref[:] = o_ref[:] + acc
+
+    plane_specs = [
+        pl.BlockSpec((k_tile * bp // 32, n_tile), lambda i, j: (j, i),
+                     memory_space=pltpu.VMEM)
+        for bp in seg.plane_bits
+    ]
+    if is_gptq:
+        meta_args = (seg.scale, seg.zero)
+        meta_specs = [
+            pl.BlockSpec((gt, n_tile), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gt, n_tile), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        meta_args = (seg.scale_f,)
+        meta_specs = [
+            pl.BlockSpec((gt, n_tile), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ]
+    qbytes = sum(p.size * 4 for p in seg.planes)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((gt, m_pad, gr), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gt, m_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gt, m_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            *plane_specs,
+            *meta_specs,
+        ],
+        out_specs=pl.BlockSpec((m_pad, n_tile), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * rows_pad * n,
+            bytes_accessed=qbytes + xq3.size + m_pad * n * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xq3, a_t, x1a, *seg.planes, *meta_args)
+
+
 def _use_partials(seg) -> bool:
     import os
     return (isinstance(seg, GptqSegment) and seg.group_rows >= 128
@@ -248,6 +400,8 @@ def _use_partials(seg) -> bool:
 
 def _fused_segment_matmul(x: jax.Array, seg) -> jax.Array:
     """x [M_pad, rows_pad] bf16 (zero-padded) @ dequant(seg) -> [M_pad, N] f32."""
+    if getattr(seg, "act8", False):
+        return _w4a8_segment_matmul(x, seg)
     if _use_partials(seg):
         return _partials_gptq_matmul(x, seg)
     m_pad, k_pad = x.shape
@@ -359,13 +513,20 @@ def qmm(x: jax.Array, lin: QuantLinear, *, fused: bool | None = None) -> jax.Arr
         fused = m <= FUSED_MAX_ROWS
     if fused:
         m_pad = _round_up(max(m, 1), _M_PAD)
-        xp = jnp.pad(x2, ((0, m_pad - m), (0, 0))).astype(jnp.bfloat16)
+        any_act8 = any(getattr(s, "act8", False) for s in lin.segments)
+        # act8 segments quantize activations to int8 in-kernel-path;
+        # feeding them from f32 avoids stacking a bf16 rounding under
+        # the int8 one (exact segments still take bf16 MXU operands)
+        xp = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+        xp = xp.astype(jnp.float32 if any_act8 else jnp.bfloat16)
         out = None
         row = 0
         for seg in lin.segments:
             xs = jax.lax.slice_in_dim(xp, row, row + seg.rows, axis=1)
             if seg.rows < seg.rows_pad:
                 xs = jnp.pad(xs, ((0, 0), (0, seg.rows_pad - seg.rows)))
+            if not getattr(seg, "act8", False):
+                xs = xs.astype(jnp.bfloat16)
             y = _fused_segment_matmul(xs, seg)
             out = y if out is None else out + y
             row += seg.rows

@@ -103,7 +103,7 @@ def unpack_planes_np(planes: list[np.ndarray], bits: int, n: int) -> np.ndarray:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["planes", "qscale", "smax", "scale_f"],
          meta_fields=["bits", "plane_bits", "rows", "group_rows",
-                      "src_cols"])
+                      "src_cols", "act8"])
 @dataclasses.dataclass
 class QuantSegment:
     """One uniform-bit-width run of K-rows of an EXL2 matrix (TPU layout)."""
@@ -122,6 +122,12 @@ class QuantSegment:
     # each source matrix; smax is then [groups_pad, n_sources] and the
     # kernel selects the source's column per n-tile — bitwise-exact
     src_cols: tuple = ()
+    # W4A8 opt-in (ops/dequant.enable_w4a8): route the fused decode path
+    # through the int8-MXU scales-on-partials kernel with per-token
+    # per-group absmax activation quantization — ~1.6x the exact
+    # kernel's HBM rate (601 vs 376 GB/s probed, docs/DESIGN.md), NOT
+    # exact EXL2 semantics. Requires scale_f (prescaled bf16 scales).
+    act8: bool = False
 
     @property
     def rows_pad(self) -> int:
@@ -130,7 +136,7 @@ class QuantSegment:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["planes", "scale", "zero"],
-         meta_fields=["bits", "plane_bits", "rows", "group_rows"])
+         meta_fields=["bits", "plane_bits", "rows", "group_rows", "act8"])
 @dataclasses.dataclass
 class GptqSegment:
     """GPTQ layout: explicit per-group f32 scales and int32 zeros (+1 applied)."""
@@ -141,6 +147,8 @@ class GptqSegment:
     plane_bits: tuple[int, ...]
     rows: int
     group_rows: int
+    # W4A8 opt-in decode path (see QuantSegment.act8)
+    act8: bool = False
 
     @property
     def rows_pad(self) -> int:

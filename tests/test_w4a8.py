@@ -1,0 +1,161 @@
+"""W4A8 opt-in decode path: int8-MXU scales-on-partials kernel.
+
+The mode trades exactness for HBM rate (601 vs 376 GB/s probed on v5e,
+docs/DESIGN.md round-4 study): activations quantize to per-token
+per-group absmax int8 and the 4-bit weight values feed the MXU as int8
+with scale/zero fixups on the group partials. These tests pin the
+kernel's arithmetic to a numpy emulation of exactly that scheme (tight
+tolerance) and bound its end-to-end deviation from the exact path.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from exllamav2_tpu.quant import formats as F
+from exllamav2_tpu.quant import qtensor as Q
+from exllamav2_tpu.ops import qmm as M
+from exllamav2_tpu.ops import dequant as D
+
+
+def _exl2_layer(rng, k, n, bits_per_group, gs=32, act_order=False):
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+    if act_order:
+        perm = rng.permutation(k)
+        t = F.exl2_pack(w[perm], bits_per_group, group_rows=gs,
+                        invperm=np.argsort(perm))
+    else:
+        t = F.exl2_pack(w, bits_per_group, group_rows=gs)
+    return F.exl2_dequantize(t), Q.from_exl2(t)
+
+
+def _act_quant_dequant(x, gs):
+    """Numpy emulation of the kernel's per-token per-group absmax int8
+    activation codec (quantize then dequantize)."""
+    m, k = x.shape
+    g = k // gs
+    xg = x.reshape(m, g, gs).astype(np.float32)
+    amax = np.abs(xg).max(axis=2)
+    a = amax / 127.0
+    aq = np.where(amax > 0, a, 1.0)
+    xq = np.clip(np.round(xg / aq[:, :, None]), -127, 127)
+    return (xq * a[:, :, None]).reshape(m, k).astype(np.float32)
+
+
+def _w4a8_ref(x, lin):
+    """y = act_qdq(x) @ dequant(lin) — algebraically identical to the
+    kernel (scales distribute over the group partials)."""
+    xp = np.asarray(x, np.float32)
+    if lin.perm is not None:
+        xp = xp[:, np.asarray(lin.perm)]
+    y = None
+    col = 0
+    for seg in lin.segments:
+        xs = xp[:, col:col + seg.rows]
+        if seg.rows < seg.rows_pad:
+            xs = np.pad(xs, ((0, 0), (0, seg.rows_pad - seg.rows)))
+        xdq = _act_quant_dequant(xs, seg.group_rows)
+        wdq = np.asarray(D.dequant_segment(seg, dtype=jnp.float32,
+                                           rows=seg.rows_pad))
+        part = xdq @ wdq
+        y = part if y is None else y + part
+        col += seg.rows
+    return y
+
+
+@pytest.mark.parametrize("m", [1, 4, 17])
+@pytest.mark.parametrize("bits", [2, 4, 5])
+def test_w4a8_matches_emulation(m, bits):
+    rng = np.random.default_rng(bits * 100 + m)
+    k, n = 256, 128
+    _, ql = _exl2_layer(rng, k, n, [bits] * (k // 32))
+    ql = D.enable_w4a8_linear(ql)
+    assert all(s.act8 for s in ql.segments)
+    x = rng.standard_normal((m, k)).astype(np.float32) * 0.1
+    expect = _w4a8_ref(x, ql)
+    got = np.asarray(M.qmm(jnp.asarray(x), ql, fused=True))[:, :n]
+    np.testing.assert_allclose(got, expect[:, :n], rtol=1e-4, atol=1e-5)
+
+
+def test_w4a8_mixed_segments_with_8bit():
+    """8-bit values sit in [0, 255]: the kernel shifts them by 128 into
+    int8 range and cancels the shift in the zero-point term."""
+    rng = np.random.default_rng(7)
+    k, n = 256, 128
+    _, ql = _exl2_layer(rng, k, n, [8, 8, 4, 4, 3, 3, 2, 2])
+    ql = D.enable_w4a8_linear(ql)
+    x = rng.standard_normal((3, k)).astype(np.float32) * 0.1
+    expect = _w4a8_ref(x, ql)
+    got = np.asarray(M.qmm(jnp.asarray(x), ql, fused=True))[:, :n]
+    np.testing.assert_allclose(got, expect[:, :n], rtol=1e-4, atol=1e-5)
+
+
+def test_w4a8_act_order():
+    rng = np.random.default_rng(3)
+    k, n = 256, 128
+    _, ql = _exl2_layer(rng, k, n, [4] * 8, act_order=True)
+    ql = D.enable_w4a8_linear(ql)
+    x = rng.standard_normal((2, k)).astype(np.float32) * 0.1
+    expect = _w4a8_ref(x, ql)
+    got = np.asarray(M.qmm(jnp.asarray(x), ql, fused=True))[:, :n]
+    np.testing.assert_allclose(got, expect[:, :n], rtol=1e-4, atol=1e-5)
+
+
+def test_w4a8_gptq():
+    rng = np.random.default_rng(4)
+    k, n, gs = 256, 128, 64
+    g = k // gs
+    qv = rng.integers(0, 16, size=(k, n)).astype(np.uint16)
+    zeros = np.full((g, n), 8, dtype=np.uint16)
+    scales = rng.random((g, n)).astype(np.float32) * 0.02 + 0.001
+    t = F.gptq_pack(qv, zeros, scales, bits=4)
+    ql = D.enable_w4a8_linear(Q.from_gptq(t))
+    assert all(s.act8 for s in ql.segments)
+    x = rng.standard_normal((2, k)).astype(np.float32) * 0.1
+    expect = _w4a8_ref(x, ql)
+    got = np.asarray(M.qmm(jnp.asarray(x), ql, fused=True))[:, :n]
+    np.testing.assert_allclose(got, expect[:, :n], rtol=1e-4, atol=1e-5)
+
+
+def test_w4a8_close_to_exact():
+    """End-to-end deviation from the exact kernel stays within the
+    per-group int8 quantization noise envelope."""
+    rng = np.random.default_rng(5)
+    k, n = 512, 256
+    golden_w, ql = _exl2_layer(rng, k, n, [4] * (k // 32))
+    x = rng.standard_normal((4, k)).astype(np.float32) * 0.1
+    exact = np.asarray(M.qmm(jnp.asarray(x),
+                             D.precompute_scales_linear(ql),
+                             fused=True))[:, :n]
+    got = np.asarray(M.qmm(jnp.asarray(x), D.enable_w4a8_linear(ql),
+                           fused=True))[:, :n]
+    scale = np.abs(exact).mean() + 1e-6
+    rel = np.abs(got - exact).mean() / scale
+    assert rel < 0.02, f"mean relative deviation {rel:.4f}"
+
+
+def test_w4a8_prefill_path_stays_exact():
+    """The unfused (prefill) path ignores act8 — prefill is MXU-bound
+    and stays on exact dequant semantics."""
+    rng = np.random.default_rng(6)
+    k, n = 256, 128
+    golden_w, ql = _exl2_layer(rng, k, n, [4] * 8)
+    qa = D.enable_w4a8_linear(ql)
+    x = rng.standard_normal((64, k)).astype(np.float32) * 0.1
+    got = np.asarray(M.qmm(jnp.asarray(x), qa, fused=False))[:, :n]
+    np.testing.assert_allclose(got, x @ golden_w, rtol=2e-2, atol=2e-2)
+
+
+def test_enable_w4a8_model_tree():
+    """enable_w4a8 flips every layer linear but keeps the lm_head exact."""
+    from exllamav2_tpu.utils.testing import random_model_weights
+    w, st = random_model_weights(max_seq=64, bits=4, seed=0, vocab=256,
+                                 hidden=256, layers=2, heads=4,
+                                 kv_heads=4, inter=512)
+    w8 = D.enable_w4a8(w)
+    q = w8.layers[0].attn.q
+    assert all(s.act8 for s in q.segments)
+    assert all(s.scale_f is not None for s in q.segments)
+    if hasattr(w8.head, "segments"):
+        assert not any(getattr(s, "act8", False)
+                       for s in w8.head.segments)

@@ -88,6 +88,54 @@ def current():
 
 
 @variant
+def w4a8_prod():
+    """Production W4A8 path end-to-end (ops/qmm._w4a8_segment_matmul via
+    qmm, incl. in-trace activation quantization). Compare against
+    gp_int8 (the isolated-probe form) to localize production overhead."""
+    import numpy as np
+    import jax.numpy as jnp
+    from exllamav2_tpu.utils.testing import random_quant_linear
+    from exllamav2_tpu.ops.qmm import qmm
+    from exllamav2_tpu.ops.dequant import enable_w4a8_linear
+    rng = np.random.default_rng(0)
+    rows = []
+    for k, n in SHAPES:
+        lin = enable_w4a8_linear(
+            random_quant_linear(rng, k, n, bits=BITS, group_rows=GR))
+        x = jnp.ones((M, k), jnp.float32)
+        t = _time(lambda x: qmm(x, lin, fused=True).astype(jnp.bfloat16), x)
+        qbytes = sum(int(p.size) * 4 for s in lin.segments for p in s.planes)
+        rows.append((qbytes, t))
+    _report("w4a8_prod", rows)
+
+
+@variant
+def w4a8_kernel():
+    """Production W4A8 kernel only (activation quant pre-done outside
+    the timed chain — isolates the pallas kernel from the quant prep)."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from exllamav2_tpu.utils.testing import random_quant_linear
+    from exllamav2_tpu.ops import qmm as Mq
+    from exllamav2_tpu.ops.dequant import enable_w4a8_linear
+    rng = np.random.default_rng(0)
+    rows = []
+    for k, n in SHAPES:
+        lin = enable_w4a8_linear(
+            random_quant_linear(rng, k, n, bits=BITS, group_rows=GR))
+        seg = lin.segments[0]
+        x = jnp.ones((M, k), jnp.float32)
+        xp = jnp.pad(x, ((0, Mq._M_PAD - M), (0, 0)))
+        if seg.rows < seg.rows_pad:
+            xp = jnp.pad(xp, ((0, 0), (0, seg.rows_pad - seg.rows)))
+        t = _time(lambda xv: Mq._w4a8_segment_matmul(xv, seg)
+                  .astype(jnp.bfloat16), xp)
+        qbytes = sum(int(p.size) * 4 for p in seg.planes)
+        rows.append((qbytes, t))
+    _report("w4a8_kernel", rows)
+
+
+@variant
 def dma_only():
     """Ceiling: stream the planes, single reduce per block (no dequant)."""
     import jax, jax.numpy as jnp
