@@ -236,6 +236,24 @@ def main():
             _EXTRA["serving16_error"] = _err_detail(e)
             _emit()
 
+    # throughput AT the latency SLO: same 16-job workload with the
+    # adaptive burst policy holding p50 TTFT under 500 ms
+    # (DynamicGenerator(ttft_slo_ms=500); BASELINE.json's p50-TTFT
+    # north star — the honest "what does latency-bounded serving
+    # sustain" row, VERDICT r4 next #7)
+    if serving_on and left() > 120:
+        try:
+            _bench_serving(w, st, n_jobs=16, gen_len=48, pages=20,
+                           burst=16, prefix="serving_slo_",
+                           ttft_slo_ms=500.0)
+            v = _EXTRA.pop("serving_slo_tokens_per_s", None)
+            if v is not None:
+                _EXTRA["serving_tokens_per_s_at_500ms_p50"] = v
+            _emit()
+        except Exception as e:
+            _EXTRA["serving_slo_error"] = _err_detail(e)
+            _emit()
+
     # ---- W4A8 opt-in decode (round 5): per-token per-group absmax
     # int8 activations + int8-MXU scales-on-partials kernel — the one
     # identified lever past the v5e VPU-convert bound on exact EXL2
@@ -488,7 +506,8 @@ def _promote_best():
 
 
 def _bench_serving(w, st, n_jobs=8, prompt_len=128, gen_len=32,
-                   pages=24, burst=None, prefix="serving_"):
+                   pages=24, burst=None, prefix="serving_",
+                   ttft_slo_ms=None):
     from exllamav2_tpu.cache_paged import PagedKVCache
     from exllamav2_tpu.generator.dynamic import DynamicGenerator, DynamicJob
     from exllamav2_tpu.generator.sampler import Settings
@@ -502,7 +521,7 @@ def _bench_serving(w, st, n_jobs=8, prompt_len=128, gen_len=32,
                                st.head_dim, "bf16", page_size=256)
     gen = DynamicGenerator(model, cache, ByteTokenizer(st.vocab_size),
                            max_batch_size=n_jobs, max_chunk_size=512,
-                           decode_burst=burst)
+                           decode_burst=burst, ttft_slo_ms=ttft_slo_ms)
     rng = np.random.default_rng(0)
 
     def run_round():

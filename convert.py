@@ -25,6 +25,9 @@ def main():
                     help="split output above this many MB into numbered "
                          "safetensors shards + index (reference -ss; "
                          "0 = single file)")
+    ap.add_argument("--status_output", action="store_true",
+                    help="emit [STATUS]{...}[/STATUS] machine-parseable "
+                         "stage lines (reference bot_status protocol)")
     args = ap.parse_args()
 
     # pipeline handles .txt / .parquet paths directly
@@ -34,7 +37,8 @@ def main():
     convert_model(args.in_dir, args.out_dir, bits=args.bits,
                   head_bits=args.head_bits, cal_rows=args.rows,
                   cal_len=args.length, cal_text=text, seed=args.seed,
-                  shard_size_mb=args.output_shard_size)
+                  shard_size_mb=args.output_shard_size,
+                  status_output=args.status_output)
 
 
 if __name__ == "__main__":

@@ -196,7 +196,8 @@ class DynamicGenerator:
                  merged_weights: bool = False,
                  prescale: bool | None = None,
                  w4a8: bool = False,
-                 decode_burst: int | None = None):
+                 decode_burst: int | None = None,
+                 ttft_slo_ms: float | None = None):
         # burst decode: up to this many tokens per dispatch when no job
         # needs per-step host intervention (_get_decode_burst_fn). 8 is
         # the latency/waste sweet spot on the tunnel-attached chip; 1
@@ -208,6 +209,13 @@ class DynamicGenerator:
             self.decode_burst = int(decode_burst)
         else:
             self.decode_burst = int(_os.environ.get("DECODE_BURST", 8))
+        # adaptive burst (latency SLO): when set, bursts shrink while the
+        # rolling p50 TTFT exceeds the target or any active job is still
+        # prefilling — throughput-at-SLO instead of max-throughput
+        # (BASELINE.json's p50-TTFT north star; VERDICT r4 next #7)
+        self.ttft_slo_ms = ttft_slo_ms
+        from collections import deque as _deque
+        self._ttft_recent = _deque(maxlen=32)
         # multi-chip serving: shard weights (TP splits) + paged cache
         # (kv-head split) over the mesh. Two modes:
         #   * fused (preferred): the whole forward runs under shard_map —
@@ -913,6 +921,31 @@ class DynamicGenerator:
             w, self.model.static, ids, cache, bt, seqlens,
             last_token_only=last_token_only, pos_offsets=pos_offsets,
             input_embeds=input_embeds, rope_rows=rope_rows)
+
+    def _note_ttft(self, job) -> None:
+        if self.ttft_slo_ms is not None and job.time_enqueue:
+            self._ttft_recent.append(job.time_first_token
+                                     - job.time_enqueue)
+
+    def _burst_limit(self) -> int:
+        """Effective burst cap this step. With a TTFT SLO set, bursts
+        back off while (a) any active job is still prefilling — its
+        first token is queued behind every burst — or (b) the rolling
+        p50 TTFT breaches the target (half at 70% of the SLO, quarter
+        above it). Pending jobs already force k=1 unconditionally."""
+        k = self.decode_burst
+        if self.ttft_slo_ms is None or k <= 1:
+            return k
+        if any(j.status == "prefill" for j in self.active):
+            return 1
+        if self._ttft_recent:
+            srt = sorted(self._ttft_recent)
+            p50_ms = srt[len(srt) // 2] * 1000.0
+            if p50_ms > self.ttft_slo_ms:
+                return max(1, k // 4)
+            if p50_ms > 0.7 * self.ttft_slo_ms:
+                return max(1, k // 2)
+        return k
 
     def _moe_prefill_stats(self) -> bool:
         """Count dropped MoE routes during prefill? (jitted single-chip /
@@ -1620,7 +1653,8 @@ class DynamicGenerator:
         # out-of-grammar tokens past the first (ADVICE r4 high)
         live_filters = any(
             not f.is_completed() for j in jobs for f in j.filters)
-        if (self.decode_burst > 1 and not any_masked and not topk
+        burst_limit = self._burst_limit()
+        if (burst_limit > 1 and not any_masked and not topk
                 and not ret_logits and not self.pending
                 and not live_filters
                 and not any(j.banned_strings for j in jobs)):
@@ -1630,7 +1664,7 @@ class DynamicGenerator:
                     for j in jobs),
                 self.max_seq_len - max(j.kv_pos for j in jobs))
             k = 1
-            while k * 2 <= min(self.decode_burst, room):
+            while k * 2 <= min(burst_limit, room):
                 k *= 2                      # power-of-2 compile buckets
             if k > 1:
                 bfn = self._get_decode_burst_fn(b_bucket, p_bucket, k,
@@ -1664,6 +1698,7 @@ class DynamicGenerator:
                         job.new_tokens += 1
                         if job.new_tokens == 1:
                             job.time_first_token = t_step
+                            self._note_ttft(job)
                         job.time_last_token = t_step
                         self._update_page_fill(job)
                         self._emit(job, tok, results)
@@ -1708,6 +1743,7 @@ class DynamicGenerator:
             job.new_tokens += 1
             if job.new_tokens == 1:
                 job.time_first_token = now
+                self._note_ttft(job)
             job.time_last_token = now
             self._update_page_fill(job)
             self._emit(job, tok, results)
@@ -1787,6 +1823,7 @@ class DynamicGenerator:
             job.new_tokens += 1
             if job.new_tokens == 1:
                 job.time_first_token = now
+                self._note_ttft(job)
             job.time_last_token = now
             self._update_page_fill(job)
             self._emit(job, tok, results)
@@ -1849,6 +1886,7 @@ class DynamicGenerator:
                 job.new_tokens += 1
                 if job.new_tokens == 1:
                     job.time_first_token = now
+                    self._note_ttft(job)
                 job.time_last_token = now
                 self._emit(job, tok, results)
                 if job.status == "done":

@@ -198,7 +198,16 @@ def enable_w4a8_linear(lin):
         if seg.bits > 8:
             segs.append(seg)
             continue
-        segs.append(dataclasses.replace(seg, act8=True))
+        repl = {"act8": True}
+        if isinstance(seg, GptqSegment) and seg.zs_bf is None:
+            # compressed meta for the int8 kernel: bf16 scales and the
+            # precomputed (zero - off) * scale product (off folds the
+            # 8-bit int8-range shift) — halves the meta stream
+            off = 128 if seg.bits == 8 else 0
+            repl["scale_bf"] = seg.scale.astype(jnp.bfloat16)
+            repl["zs_bf"] = ((seg.zero.astype(jnp.float32) - float(off))
+                             * seg.scale).astype(jnp.bfloat16)
+        segs.append(dataclasses.replace(seg, **repl))
     return dataclasses.replace(lin, segments=tuple(segs))
 
 
@@ -282,10 +291,18 @@ def merge_linears(lins):
             jnp.concatenate([s.planes[j] for s in ss], axis=1)
             for j in range(len(s0.planes)))
         if isinstance(s0, GptqSegment):
-            segs.append(dataclasses.replace(
-                s0, planes=planes,
+            repl = dict(
+                planes=planes,
                 scale=jnp.concatenate([s.scale for s in ss], axis=1),
-                zero=jnp.concatenate([s.zero for s in ss], axis=1)))
+                zero=jnp.concatenate([s.zero for s in ss], axis=1))
+            if all(s.scale_bf is not None for s in ss):
+                repl["scale_bf"] = jnp.concatenate(
+                    [s.scale_bf for s in ss], axis=1)
+                repl["zs_bf"] = jnp.concatenate(
+                    [s.zs_bf for s in ss], axis=1)
+            else:
+                repl["scale_bf"] = repl["zs_bf"] = None
+            segs.append(dataclasses.replace(s0, **repl))
         else:
             # EXACT exl2 merge: per-source smax kept as columns of one
             # [gt, n_sources] array; the kernel selects the source's
@@ -304,8 +321,14 @@ def merge_linears(lins):
         bias = jnp.concatenate([
             l.bias if l.bias is not None else jnp.zeros(l.n, jnp.float32)
             for l in lins])
-    return QuantLinear(segments=tuple(segs), perm=lins[0].perm,
-                       bias=bias, k=k0, n=n, n_orig=n)
+    out = QuantLinear(segments=tuple(segs), perm=lins[0].perm,
+                      bias=bias, k=k0, n=n, n_orig=n)
+    if any(getattr(s, "act8", False) for s in out.segments):
+        # act8 segments require scale_f, which the merge rebuilt as None
+        # (set_loras re-merges on adapter detach) — re-prescale here so
+        # a merged w4a8 linear stays self-consistent
+        out = precompute_scales_linear(out)
+    return out
 
 
 def strip_merged_weights(w):

@@ -244,6 +244,35 @@ def _partials_gptq_matmul(x: jax.Array, seg: GptqSegment) -> jax.Array:
     )(x, *seg.planes, seg.scale, seg.zero)
 
 
+def _pick_tiles_w4a8(rows_pad: int, n: int, bits: int, group_rows: int,
+                     n_unit: int | None = None) -> tuple[int, int]:
+    """Tile picker for the int8-MXU partials kernel.
+
+    The exact kernel's ~1 MiB plane-block target is tuned for its
+    VPU-bound regime; the int8 kernel at gs>=128 is MXU-pass-bound and
+    wants the WIDEST n-tile available (fewer, fatter passes). Measured
+    (gs128, probe table in docs/DESIGN.md round-5): the production
+    picker's (4096, 256) tile on the [4096, 11008] shape ran 372 GB/s
+    where the probe's (1024, 5504) ran 621 — the whole
+    production-vs-probe gap. At SMALL group sizes the K=gr dots are
+    already pipeline-pass-bound and wide tiles only add VMEM churn
+    (gs32 e2e measured 85.7 t/s wide vs 107.3 with the standard
+    picker), so gr < 128 keeps the exact kernel's tiling.
+    """
+    if group_rows < 128:
+        return _pick_tiles(rows_pad, n, bits, group_rows, _M_PAD, n_unit)
+    kts = [d for d in _divisors(rows_pad, SUB_BLOCK, 1024)
+           if d % group_rows == 0 and (d // group_rows) % 8 == 0]
+    kt = max(kts) if kts else rows_pad
+    cap = 16 << 20
+    for nt in sorted(_divisors(n, 128, 8192), reverse=True):
+        if n_unit and n_unit % nt:
+            continue
+        if kt * bits // 32 * nt * 4 <= cap:
+            return kt, nt
+    return kt, 128
+
+
 def _w4a8_segment_matmul(x: jax.Array, seg) -> jax.Array:
     """int8-MXU scales-on-partials kernel (the W4A8 opt-in decode path).
 
@@ -269,11 +298,8 @@ def _w4a8_segment_matmul(x: jax.Array, seg) -> jax.Array:
         assert seg.scale_f is not None, \
             "w4a8 EXL2 segments require prescaled scale_f rows " \
             "(ops/dequant.enable_w4a8_linear applies this)"
-    k_tile, n_tile = _pick_tiles(rows_pad, n, seg.bits, gr, m_pad)
+    k_tile, n_tile = _pick_tiles_w4a8(rows_pad, n, seg.bits, gr)
     gt = k_tile // gr
-    if gt % 8 and k_tile != rows_pad:
-        k_tile = rows_pad
-        gt = rows_pad // gr
     grid = (n // n_tile, rows_pad // k_tile)
     g_total = rows_pad // gr
 
@@ -299,6 +325,8 @@ def _w4a8_segment_matmul(x: jax.Array, seg) -> jax.Array:
     off = 128 if seg.bits == 8 else 0
     zero_c = float(2 ** (seg.bits - 1) - off)
     interp = _interpret()
+
+    gptq_bf = is_gptq and getattr(seg, "zs_bf", None) is not None
 
     def kernel(x_ref, a_ref, x1a_ref, *refs):
         o_ref = refs[-1]
@@ -329,12 +357,19 @@ def _w4a8_segment_matmul(x: jax.Array, seg) -> jax.Array:
         av = a_ref[:]                                        # [gt, m]
         x1a_v = x1a_ref[:]                                   # [gt, m]
         pa = p.astype(jnp.float32) * av[:, :, None]
-        if is_gptq:
-            z = zero_ref[:].astype(jnp.float32) - float(off)  # [gt, nt]
-            pc = pa - x1a_v[:, :, None] * z[:, None, :]
+        if gptq_bf:
+            # compressed meta: zero_ref holds zs = (z - off) * s, so the
+            # correction subtracts AFTER the scale multiply
+            zs = zero_ref[:].astype(jnp.float32)              # [gt, nt]
+            acc = jnp.sum(pa * s[:, None, :]
+                          - x1a_v[:, :, None] * zs[:, None, :], axis=0)
         else:
-            pc = pa - jnp.float32(zero_c) * x1a_v[:, :, None]
-        acc = jnp.sum(pc * s[:, None, :], axis=0)
+            if is_gptq:
+                z = zero_ref[:].astype(jnp.float32) - float(off)
+                pc = pa - x1a_v[:, :, None] * z[:, None, :]
+            else:
+                pc = pa - jnp.float32(zero_c) * x1a_v[:, :, None]
+            acc = jnp.sum(pc * s[:, None, :], axis=0)
         k_step = pl.program_id(1)
 
         @pl.when(k_step == 0)
@@ -351,7 +386,8 @@ def _w4a8_segment_matmul(x: jax.Array, seg) -> jax.Array:
         for bp in seg.plane_bits
     ]
     if is_gptq:
-        meta_args = (seg.scale, seg.zero)
+        meta_args = ((seg.scale_bf, seg.zs_bf) if gptq_bf
+                     else (seg.scale, seg.zero))
         meta_specs = [
             pl.BlockSpec((gt, n_tile), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),

@@ -135,7 +135,7 @@ class QuantSegment:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["planes", "scale", "zero"],
+         data_fields=["planes", "scale", "zero", "scale_bf", "zs_bf"],
          meta_fields=["bits", "plane_bits", "rows", "group_rows", "act8"])
 @dataclasses.dataclass
 class GptqSegment:
@@ -149,6 +149,12 @@ class GptqSegment:
     group_rows: int
     # W4A8 opt-in decode path (see QuantSegment.act8)
     act8: bool = False
+    # W4A8 compressed meta (enable_w4a8_linear): bf16 scales + bf16
+    # (zero - off) * scale product — halves the per-group meta stream
+    # (8 -> 4 bytes per group-column; at gs128 that is 12.5% -> 6.3% of
+    # the weight bytes). bf16 rounding is below the int8 act-quant noise.
+    scale_bf: jax.Array | None = None   # bf16 [groups_pad, N]
+    zs_bf: jax.Array | None = None      # bf16 [groups_pad, N]
 
     @property
     def rows_pad(self) -> int:
@@ -283,6 +289,9 @@ def slice_columns(lin, beg: int, end: int):
         if isinstance(seg, GptqSegment):
             repl["scale"] = seg.scale[:, beg:end]
             repl["zero"] = seg.zero[:, beg:end]
+            if seg.scale_bf is not None:
+                repl["scale_bf"] = seg.scale_bf[:, beg:end]
+                repl["zs_bf"] = seg.zs_bf[:, beg:end]
         else:
             repl["qscale"] = seg.qscale[:, beg:end]
             if seg.scale_f is not None:
@@ -310,6 +319,9 @@ def gather_columns(lin, idx):
         if isinstance(seg, GptqSegment):
             repl["scale"] = jnp.take(seg.scale, idx, axis=1)
             repl["zero"] = jnp.take(seg.zero, idx, axis=1)
+            if seg.scale_bf is not None:
+                repl["scale_bf"] = jnp.take(seg.scale_bf, idx, axis=1)
+                repl["zs_bf"] = jnp.take(seg.zs_bf, idx, axis=1)
         else:
             repl["qscale"] = jnp.take(seg.qscale, idx, axis=1)
             if seg.scale_f is not None:

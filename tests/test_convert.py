@@ -123,7 +123,7 @@ def test_sharded_compile_output(tmp_path):
     assert np.isfinite(np.asarray(logits)).all()
 
 
-def test_end_to_end_convert(tmp_path):
+def test_end_to_end_convert(tmp_path, capsys):
     from exllamav2_tpu.utils.testing import make_tiny_llama
     from exllamav2_tpu.models.model import Model
 
@@ -132,7 +132,19 @@ def test_end_to_end_convert(tmp_path):
     make_tiny_llama(src, quant=None, seed=11, vocab=256, hidden=128,
                     layers=2, heads=4, kv_heads=2, inter=256, max_pos=512)
     convert_model(src, out, bits=4.0, cal_rows=2, cal_len=64,
-                  progress=lambda *a: None)
+                  progress=lambda *a: None, status_output=True)
+    # bot-status protocol (reference conversion/bot_status.py): stage
+    # lines are machine-parseable and completion reaches 1.0 per stage
+    import json as _json
+    stages = []
+    for line in capsys.readouterr().out.splitlines():
+        if line.startswith("[STATUS]") and line.endswith("[/STATUS]"):
+            stages.append(_json.loads(line[8:-9]))
+    names = {s["stage"] for s in stages}
+    assert {"Measuring", "Optimizing", "Quantizing", "Compiling"} <= names
+    assert all(0.0 <= s["completion"] <= 1.0 for s in stages)
+    assert any(s["stage"] == "Quantizing" and s["completion"] == 1.0
+               for s in stages)
 
     m_src = Model.from_dir(src)
     m_q = Model.from_dir(out)

@@ -403,6 +403,29 @@ def test_ngram_spec_with_bursts_enabled(setup):
     assert job.emitted_text == base
 
 
+def test_ttft_slo_adaptive_burst(setup):
+    """DynamicGenerator(ttft_slo_ms=...) adapts the burst width: an
+    unreachable SLO forces the policy floor (quarter burst), a loose SLO
+    leaves the full burst — and output text is identical either way
+    (burst width never changes greedy semantics)."""
+    model = setup
+    prompt = "slo adaptive burst"
+    base = _gen(model, decode_burst=1).generate(
+        prompt, max_new_tokens=16, settings=Settings.greedy())
+    tight = _gen(model, decode_burst=8, ttft_slo_ms=0.001)
+    got = tight.generate(prompt, max_new_tokens=16,
+                         settings=Settings.greedy())
+    assert got == base
+    # the recorded TTFT breaches the 1us target -> cap must be k//4
+    assert len(tight._ttft_recent) == 1
+    assert tight._burst_limit() == 2
+    loose = _gen(model, decode_burst=8, ttft_slo_ms=60000.0)
+    got2 = loose.generate(prompt, max_new_tokens=16,
+                          settings=Settings.greedy())
+    assert got2 == base
+    assert loose._burst_limit() == 8
+
+
 def test_merged_prescale_generator_equivalence(setup):
     """DynamicGenerator(merged_weights=True, prescale=True) — the
     single-chip decode fast path (merged q|k|v / gate|up streams +

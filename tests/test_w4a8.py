@@ -102,19 +102,43 @@ def test_w4a8_act_order():
 
 
 def test_w4a8_gptq():
+    """GPTQ w4a8 uses the compressed bf16 meta (scale_bf + zs_bf): the
+    emulation mirrors that algebra exactly — partials scale by bf16(s),
+    the zero term subtracts x1a * bf16((z-off)*s)."""
+    import jax
     rng = np.random.default_rng(4)
     k, n, gs = 256, 128, 64
     g = k // gs
     qv = rng.integers(0, 16, size=(k, n)).astype(np.uint16)
-    zeros = np.full((g, n), 8, dtype=np.uint16)
+    zeros = rng.integers(4, 12, size=(g, n)).astype(np.uint16)
     scales = rng.random((g, n)).astype(np.float32) * 0.02 + 0.001
     t = F.gptq_pack(qv, zeros, scales, bits=4)
     ql = D.enable_w4a8_linear(Q.from_gptq(t))
-    assert all(s.act8 for s in ql.segments)
+    seg = ql.segments[0]
+    assert seg.act8 and seg.scale_bf is not None
+
     x = rng.standard_normal((2, k)).astype(np.float32) * 0.1
-    expect = _w4a8_ref(x, ql)
+    m = x.shape[0]
+    rows_pad = seg.rows_pad
+    xs = np.pad(x, ((0, 0), (0, rows_pad - k)))
+    gt = rows_pad // gs
+    xg = xs.reshape(m, gt, gs)
+    amax = np.abs(xg).max(axis=2)
+    a = amax / 127.0
+    aq = np.where(amax > 0, a, 1.0)
+    xq = np.clip(np.round(xg / aq[:, :, None]), -127, 127)
+    vals = Q.unpack_planes_np([np.asarray(p) for p in seg.planes],
+                              seg.bits, n).astype(np.float64)
+    s_bf = np.asarray(seg.scale_bf, np.float32)
+    zs_bf = np.asarray(seg.zs_bf, np.float32)
+    expect = np.zeros((m, n))
+    for gi in range(gt):
+        p = xq[:, gi] @ vals[gi * gs:(gi + 1) * gs, :n]   # [m, n]
+        x1a = xq[:, gi].sum(axis=1) * a[:, gi]            # [m]
+        expect += (p * a[:, gi:gi + 1]) * s_bf[gi, :n] \
+            - x1a[:, None] * zs_bf[gi, :n]
     got = np.asarray(M.qmm(jnp.asarray(x), ql, fused=True))[:, :n]
-    np.testing.assert_allclose(got, expect[:, :n], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
 
 
 def test_w4a8_close_to_exact():
@@ -144,6 +168,27 @@ def test_w4a8_prefill_path_stays_exact():
     x = rng.standard_normal((64, k)).astype(np.float32) * 0.1
     got = np.asarray(M.qmm(jnp.asarray(x), qa, fused=False))[:, :n]
     np.testing.assert_allclose(got, x @ golden_w, rtol=2e-2, atol=2e-2)
+
+
+def test_w4a8_merge_roundtrip():
+    """merge_linears on act8 sources re-prescales the merged segment
+    (set_loras re-merges on adapter detach), and the merged w4a8 matmul
+    matches the per-source results."""
+    rng = np.random.default_rng(8)
+    k = 256
+    _, qa = _exl2_layer(rng, k, 128, [4] * 8)
+    _, qb = _exl2_layer(rng, k, 128, [4] * 8)
+    qa, qb = D.enable_w4a8_linear(qa), D.enable_w4a8_linear(qb)
+    merged = D.merge_linears([qa, qb])
+    assert merged is not None
+    assert all(s.act8 and s.scale_f is not None for s in merged.segments)
+    x = rng.standard_normal((2, k)).astype(np.float32) * 0.1
+    import jax.numpy as jnp
+    ya = np.asarray(M.qmm(jnp.asarray(x), qa, fused=True))[:, :128]
+    yb = np.asarray(M.qmm(jnp.asarray(x), qb, fused=True))[:, :128]
+    ym = np.asarray(M.qmm(jnp.asarray(x), merged, fused=True))
+    np.testing.assert_allclose(ym[:, :128], ya, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ym[:, 128:256], yb, rtol=1e-5, atol=1e-6)
 
 
 def test_enable_w4a8_model_tree():

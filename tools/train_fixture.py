@@ -40,7 +40,10 @@ LAYERS = 2
 HEADS = 8
 KV_HEADS = 4
 INTER = 512
-SEQ = 128
+# 256-token windows: greedy generation stays on-manifold through the
+# positions the evals drive (SEQ=128 training derailed every completion
+# past position ~128 — RoPE extrapolation into untrained territory)
+SEQ = 256
 
 
 def corpus_tokens() -> np.ndarray:
@@ -57,7 +60,7 @@ def batches(tokens: np.ndarray, rng: np.random.Generator, batch: int):
         yield np.stack([tokens[i:i + SEQ + 1] for i in idx])
 
 
-def train(steps: int = 600, batch: int = 16, lr: float = 3e-3,
+def train(steps: int = 1200, batch: int = 8, lr: float = 3e-3,
           seed: int = 7, log=print):
     import jax
     import jax.numpy as jnp
@@ -166,8 +169,8 @@ def export(params, out_dir: str, final_loss: float):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="tests/fixtures/trained_tiny")
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
