@@ -539,6 +539,10 @@ def _bench_serving(w, st, n_jobs=8, prompt_len=128, gen_len=32,
         return jobs, new_tokens, time.perf_counter() - t0
 
     run_round()                          # warm the bucketed compiles
+    # warm-round TTFTs include tens of seconds of compiles; they must
+    # not feed the adaptive-burst policy's rolling window in the
+    # measured round
+    gen._ttft_recent.clear()
     jobs, new_tokens, dt = run_round()   # measured round (no compiles)
     ttfts = []
     for j in jobs:

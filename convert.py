@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--status_output", action="store_true",
                     help="emit [STATUS]{...}[/STATUS] machine-parseable "
                          "stage lines (reference bot_status protocol)")
+    ap.add_argument("-gs", "--group_size", type=int, default=32,
+                    help="scale-group rows for every candidate option "
+                         "(default 32 = the reference grid; 128 emits "
+                         "W4A8-friendly checkpoints for the int8-MXU "
+                         "decode mode, docs/DESIGN.md round-5)")
     args = ap.parse_args()
 
     # pipeline handles .txt / .parquet paths directly
@@ -38,7 +43,8 @@ def main():
                   head_bits=args.head_bits, cal_rows=args.rows,
                   cal_len=args.length, cal_text=text, seed=args.seed,
                   shard_size_mb=args.output_shard_size,
-                  status_output=args.status_output)
+                  status_output=args.status_output,
+                  group_size=args.group_size)
 
 
 if __name__ == "__main__":

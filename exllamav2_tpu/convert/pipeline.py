@@ -429,7 +429,8 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
                   cal_len: int = 256, cal_text: str | None = None,
                   seed: int = 0, progress=print,
                   shard_size_mb: float = 8192,
-                  status_output: bool = False) -> str:
+                  status_output: bool = False,
+                  group_size: int = 32) -> str:
     """Convert an FP16/BF16 checkpoint to EXL2 at `bits` average bpw.
 
     head_bits: 2..8 quantizes lm_head at that width (reference
@@ -440,6 +441,10 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     status_output: emit machine-parseable [STATUS]{...}[/STATUS] stage
     lines (reference conversion/bot_status.py protocol; stage names
     match measure.py:453 / quantize.py / compile.py:178).
+    group_size: scale-group rows for every candidate option (default 32,
+    the reference's EXL2 grid). 128 emits W4A8-friendly checkpoints —
+    the int8-MXU decode mode (enable_w4a8 / DynamicGenerator(w4a8=True))
+    only pays at gs>=128 (docs/DESIGN.md round-5 study).
     """
     from exllamav2_tpu.convert.bot_status import print_stage
     os.makedirs(out_dir, exist_ok=True)
@@ -479,7 +484,8 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     sin = jnp.take(weights.sin, pos, axis=0)
     cos = jnp.take(weights.cos, pos, axis=0)
 
-    attn_opts, mlp_opts = qparams_attn(), qparams_mlp()
+    attn_opts, mlp_opts = (qparams_attn(group_size),
+                           qparams_mlp(group_size))
     head_qp = qparams_head_for(head_bits)
     quantize_head = (head_qp is not None and not cfg.tie_word_embeddings
                      and isinstance(weights.head, DenseLinear)

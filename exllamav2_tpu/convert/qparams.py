@@ -64,33 +64,40 @@ class QParams:
         return "/".join(f"{b}b" for b in self.bits) + f" g{self.group_size}"
 
 
-def qparams_attn() -> list[QParams]:
-    """Candidate grid for q/k/v/o (qparams.py:131-199 in spirit)."""
+def qparams_attn(group_size: int = 32) -> list[QParams]:
+    """Candidate grid for q/k/v/o (qparams.py:131-199 in spirit).
+
+    group_size=128 emits W4A8-friendly checkpoints: the int8-MXU decode
+    kernel only pays at gs>=128 (K=gs MXU passes; docs/DESIGN.md
+    round-5), at a small quality cost (coarser scale granularity) the
+    measurement stage prices in per layer like any other option."""
+    g = group_size
     return [
-        QParams(32, (2,), (1.0,)),
-        QParams(32, (3, 2), (0.25, 0.75)),
-        QParams(32, (3,), (1.0,)),
-        QParams(32, (4, 3), (0.25, 0.75)),
-        QParams(32, (4, 3), (0.75, 0.25)),
-        QParams(32, (4,), (1.0,)),
-        QParams(32, (5, 4), (0.5, 0.5)),
-        QParams(32, (5,), (1.0,)),
-        QParams(32, (6,), (1.0,)),
-        QParams(32, (8,), (1.0,)),
+        QParams(g, (2,), (1.0,)),
+        QParams(g, (3, 2), (0.25, 0.75)),
+        QParams(g, (3,), (1.0,)),
+        QParams(g, (4, 3), (0.25, 0.75)),
+        QParams(g, (4, 3), (0.75, 0.25)),
+        QParams(g, (4,), (1.0,)),
+        QParams(g, (5, 4), (0.5, 0.5)),
+        QParams(g, (5,), (1.0,)),
+        QParams(g, (6,), (1.0,)),
+        QParams(g, (8,), (1.0,)),
     ]
 
 
-def qparams_mlp() -> list[QParams]:
+def qparams_mlp(group_size: int = 32) -> list[QParams]:
+    g = group_size
     return [
-        QParams(32, (2,), (1.0,)),
-        QParams(32, (3, 2), (0.3, 0.7)),
-        QParams(32, (3,), (1.0,)),
-        QParams(32, (4, 3), (0.25, 0.75)),
-        QParams(32, (4,), (1.0,)),
-        QParams(32, (5, 4), (0.5, 0.5)),
-        QParams(32, (5,), (1.0,)),
-        QParams(32, (6,), (1.0,)),
-        QParams(32, (8,), (1.0,)),
+        QParams(g, (2,), (1.0,)),
+        QParams(g, (3, 2), (0.3, 0.7)),
+        QParams(g, (3,), (1.0,)),
+        QParams(g, (4, 3), (0.25, 0.75)),
+        QParams(g, (4,), (1.0,)),
+        QParams(g, (5, 4), (0.5, 0.5)),
+        QParams(g, (5,), (1.0,)),
+        QParams(g, (6,), (1.0,)),
+        QParams(g, (8,), (1.0,)),
     ]
 
 

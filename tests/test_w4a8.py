@@ -204,3 +204,44 @@ def test_enable_w4a8_model_tree():
     if hasattr(w8.head, "segments"):
         assert not any(getattr(s, "act8", False)
                        for s in w8.head.segments)
+
+
+@pytest.mark.slow
+def test_w4a8_gs128_convert_serve(tmp_path):
+    """The product recipe for the int8-MXU decode mode: convert with
+    group_size=128 (`convert.py -gs 128` — W4A8-friendly scale groups),
+    serve with w4a8 — the mode only pays at gs>=128 (docs/DESIGN.md
+    round-5: +22% on-chip vs the exact path at 7B GPTQ-gs128, parity at
+    gs32). Asserts the converted checkpoint really carries gs128
+    segments and that the w4a8 decode path tracks the exact path."""
+    import jax
+    from exllamav2_tpu.convert.pipeline import convert_model
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    make_tiny_llama(src, quant=None, seed=11, vocab=256, hidden=256,
+                    layers=2, heads=4, kv_heads=2, inter=512, max_pos=512)
+    convert_model(src, out, bits=4.0, cal_rows=2, cal_len=64,
+                  group_size=128, progress=lambda *a: None)
+    exact = Model.from_dir(out)
+    segs = exact.weights.layers[0].attn.q.segments
+    assert all(s.group_rows == 128 for s in segs), \
+        [s.group_rows for s in segs]
+
+    m8 = Model(D.enable_w4a8(exact.weights), exact.static, exact.config)
+    ids = np.array([[3, 17, 200, 9, 55, 123]], np.int32)
+    # decode path (m=1 fused kernels): teacher-force a short row
+    la, lb = [], []
+    ca = exact.new_cache(batch=1, max_seq=16)
+    cb = m8.new_cache(batch=1, max_seq=16)
+    for t in range(ids.shape[1]):
+        a, ca = exact.forward(ids[:, t:t + 1], ca, t)
+        b, cb = m8.forward(ids[:, t:t + 1], cb, t)
+        la.append(np.asarray(a, np.float32).ravel())
+        lb.append(np.asarray(b, np.float32).ravel())
+    pa = jax.nn.log_softmax(jnp.asarray(np.stack(la)), axis=-1)
+    pb = jax.nn.log_softmax(jnp.asarray(np.stack(lb)), axis=-1)
+    kld = np.asarray(jnp.sum(jnp.exp(pa) * (pa - pb), axis=-1))
+    assert kld.mean() < 2e-2, kld
