@@ -13,10 +13,15 @@ synchronized by a host readback of the final token —
 Emission is INCREMENTAL so the driver's budget always captures whatever
 was measured: the headline-only JSON line prints the moment the decode
 rate is known, and the line is re-emitted with a growing `extra` dict
-after each companion metric (TTFT-512 / prefill rate, batch-8 decode,
-DynamicGenerator serving aggregate + p50 TTFT) completes. The LAST line
-printed is always the most complete result; every line is valid on its
-own. Companions are the BASELINE.json north-star metrics.
+after each companion leg. Leg order = information value (round 5;
+round 4 lost every serving row to warmup compiles): serving aggregate
+(8 jobs) -> serving16 -> throughput-at-500ms-p50 SLO row -> W4A8
+opt-in row -> TTFT-512/prefill -> batch-8 -> scan (diagnostic) ->
+A/B (merged_prescale, unprescaled base) -> reference-table sweep. The
+LAST line printed is always the most complete result; every line is
+valid on its own. Companions are the BASELINE.json north-star metrics.
+A complete all-legs record from this round's session:
+docs/sessions/r5_bench_full.log.
 """
 
 import json

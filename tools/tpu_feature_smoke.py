@@ -1,8 +1,8 @@
 """Real-TPU smokes: ngram + draft-model speculative decoding, CFG,
-import sys, os
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 quantized-cache serving — features whose only prior evidence was
 CPU/interpret mode."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import numpy as np
 from exllamav2_tpu.utils.testing import random_model_weights
