@@ -99,13 +99,22 @@ def test_cohere_parallel_blocks(tmp_path):
 
 def test_cohere_shares_input_norm(tmp_path):
     """Cohere has no post_attention_layernorm: the MLP must reuse the
-    attention input norm (reference architecture.py:704-721 norm_2=None)."""
+    attention input norm (reference architecture.py:704-721 norm_2=None).
+
+    Object identity is asserted on the RAW loader output (prescale=False):
+    the default prescale pass tree_maps the weights, which rebuilds the
+    pytree and legitimately duplicates shared leaves (equal values)."""
     d = make_tiny_llama(str(tmp_path / "m"), quant=None, seed=31,
                         arch="CohereForCausalLM")
-    model = Model.from_dir(d)
+    model = Model.from_dir(d, prescale=False)
     lw = model.weights.layers[0]
     assert lw.mlp.norm is lw.attn.norm
     assert model.static.rope_style == "gptj"
+    # and the default (prescaled) load keeps them numerically identical
+    m2 = Model.from_dir(d)
+    lw2 = m2.weights.layers[0]
+    assert np.array_equal(np.asarray(lw2.mlp.norm.weight),
+                          np.asarray(lw2.attn.norm.weight))
 
 
 def test_glm4_post_norms(tmp_path):

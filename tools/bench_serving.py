@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--small", action="store_true",
                     help="tiny geometry (smoke test)")
+    ap.add_argument("--fmt", default="exl2", choices=("exl2", "gptq"),
+                    help="weight format (gptq = gs128)")
+    ap.add_argument("--w4a8", action="store_true",
+                    help="serve with the int8-MXU W4A8 decode mode "
+                         "(pays at gs>=128; docs/DESIGN.md round-5)")
+    ap.add_argument("--burst", type=int, default=None,
+                    help="decode burst width (default: env/8)")
     args = ap.parse_args()
 
     from exllamav2_tpu.cache_paged import PagedKVCache
@@ -44,11 +51,11 @@ def main():
     if args.small:
         w, st = random_model_weights(
             vocab=2048, hidden=512, layers=4, heads=8, kv_heads=4,
-            inter=1024, max_seq=2048, bits=4, seed=0)
+            inter=1024, max_seq=2048, bits=4, seed=0, fmt=args.fmt)
     else:
         w, st = random_model_weights(
             vocab=32000, hidden=4096, layers=32, heads=32, kv_heads=32,
-            inter=11008, max_seq=2048, bits=4, seed=0)
+            inter=11008, max_seq=2048, bits=4, seed=0, fmt=args.fmt)
     model = Model(w, st)
     tok = ByteTokenizer(min(st.vocab_size, 384))
     pages = args.pages or (
@@ -58,7 +65,8 @@ def main():
                                st.head_dim, args.cache_kind)
     gen = DynamicGenerator(model, cache, tok,
                            max_batch_size=args.max_batch,
-                           max_chunk_size=512)
+                           max_chunk_size=512, w4a8=args.w4a8,
+                           decode_burst=args.burst)
 
     def run_once(seed):
         rng = np.random.default_rng(seed)
