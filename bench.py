@@ -109,7 +109,9 @@ def main():
     # recorded rc=0. Emission stays incremental, so even a hard external
     # kill captures everything measured up to that point; the budget is
     # only a graceful-degradation ladder, not a safety requirement.
-    budget = float(os.environ.get("BENCH_BUDGET_S", 1500))
+    # 2400 s ran every leg to completion on-chip this round
+    # (docs/sessions/r5_bench_full.log)
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
     import functools
     from exllamav2_tpu.utils.testing import random_model_weights
     from exllamav2_tpu.models.forward import model_forward

@@ -452,10 +452,22 @@ def convert_model(model_dir: str, out_dir: str, *, bits: float = 4.0,
     os.makedirs(quant_dir, exist_ok=True)
     job_path = os.path.join(out_dir, "job.json")
     meas_path = os.path.join(out_dir, "measurement.json")
-    job = {"stage": "measure"}
+    job = {"stage": "measure", "group_size": group_size}
     if os.path.exists(job_path):
         with open(job_path) as f:
             job = json.load(f)
+        # group_size invalidates EVERYTHING persisted: measurement.json
+        # option errors/bit totals are priced on the old grid, strategy
+        # indices would silently apply to the new one, and already
+        # quantized layer files keep the old groups — a mixed-group
+        # checkpoint. Refuse loudly rather than resume across it.
+        prev_gs = job.get("group_size", 32)
+        if prev_gs != group_size:
+            raise ValueError(
+                f"resume state in {out_dir} was produced with "
+                f"group_size={prev_gs}, requested {group_size}; delete "
+                f"the output directory (or pass a fresh one) to convert "
+                f"at the new group size")
 
     def save_job():
         with open(job_path, "w") as f:

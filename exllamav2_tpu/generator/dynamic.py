@@ -253,7 +253,12 @@ class DynamicGenerator:
             # PRODUCTION DEFAULT (round 5): load-time-decoded bf16 group
             # scales won the round-4 on-chip A/B (+4.7%, exact — the
             # same decode arithmetic done once). EXL2_TPU_PRESCALE=0 is
-            # the kill switch.
+            # the kill switch, and a Model loaded with
+            # from_dir(prescale=False) keeps its explicit opt-out
+            # (bitwise golden comparisons) unless the caller passes
+            # prescale=True here.
+            prescale = getattr(model, "_prescale", None)
+        if prescale is None:
             prescale = _os.environ.get("EXL2_TPU_PRESCALE", "1") == "1"
         if prescale:
             # idempotent (segments carrying scale_f are skipped), and
@@ -583,12 +588,15 @@ class DynamicGenerator:
         reference-style usage passes the same LoRA objects on every
         begin_stream_ex call, and rebuilding the pytree clears the
         compiled cache — a full recompile per request (ADVICE r4
-        medium)."""
+        medium). The attached set is held by strong reference (an id()
+        of a collected object could be reused by a DIFFERENT adapter),
+        and recorded only after the rebuild succeeds."""
         from exllamav2_tpu.lora import apply_lora, remove_lora
-        requested = tuple(id(l) for l in (loras or []))
-        if requested == getattr(self, "_active_loras", ()):
+        requested = tuple(loras or [])
+        active = getattr(self, "_active_loras", ())
+        if len(requested) == len(active) and all(
+                a is b for a, b in zip(requested, active)):
             return
-        self._active_loras = requested
         if getattr(self, "_tp_fused", False):
             # fused TP path (reference analog: LoRA through the fused TP
             # attention/MLP, attn.py:528-547): weave LoraLinear leaves
@@ -610,6 +618,7 @@ class DynamicGenerator:
                 self._fwd_full = self._fwd_factory(False)
             self.model = _Model(w, self.model.static, self.model.config)
             self._compiled.clear()
+            self._active_loras = requested
             return
         w = remove_lora(self.model.weights)
         if loras:
@@ -626,6 +635,7 @@ class DynamicGenerator:
         self.model = type(self.model)(w, self.model.static,
                                       self.model.config)
         self._compiled.clear()
+        self._active_loras = requested
 
     def print_page_list(self, short: bool = True):
         """Debug dump of the page pool (reference print_page_list)."""
@@ -922,24 +932,35 @@ class DynamicGenerator:
             last_token_only=last_token_only, pos_offsets=pos_offsets,
             input_embeds=input_embeds, rope_rows=rope_rows)
 
+    # only TTFTs younger than this feed the adaptive-burst policy: a
+    # compile-inflated outlier (tens of seconds on a fresh bucket) must
+    # not clamp bursts indefinitely at low arrival rates, where deque
+    # count alone would never age it out
+    TTFT_WINDOW_S = 30.0
+
     def _note_ttft(self, job) -> None:
         if self.ttft_slo_ms is not None and job.time_enqueue:
-            self._ttft_recent.append(job.time_first_token
-                                     - job.time_enqueue)
+            self._ttft_recent.append(
+                (job.time_first_token,
+                 job.time_first_token - job.time_enqueue))
 
     def _burst_limit(self) -> int:
         """Effective burst cap this step. With a TTFT SLO set, bursts
         back off while (a) any active job is still prefilling — its
         first token is queued behind every burst — or (b) the rolling
-        p50 TTFT breaches the target (half at 70% of the SLO, quarter
-        above it). Pending jobs already force k=1 unconditionally."""
+        p50 TTFT (last 32 jobs within TTFT_WINDOW_S) breaches the
+        target (half at 70% of the SLO, quarter above it). Pending jobs
+        already force k=1 unconditionally."""
         k = self.decode_burst
         if self.ttft_slo_ms is None or k <= 1:
             return k
         if any(j.status == "prefill" for j in self.active):
             return 1
-        if self._ttft_recent:
-            srt = sorted(self._ttft_recent)
+        now = time.perf_counter()
+        recent = [v for t, v in self._ttft_recent
+                  if now - t < self.TTFT_WINDOW_S]
+        if recent:
+            srt = sorted(recent)
             p50_ms = srt[len(srt) // 2] * 1000.0
             if p50_ms > self.ttft_slo_ms:
                 return max(1, k // 4)
@@ -1018,12 +1039,20 @@ class DynamicGenerator:
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fn(w, cache, embeds, block_table, cache_seqlen,
-               sin_rows=None, cos_rows=None):
+               sin_rows=None, cos_rows=None, lens=None):
             from exllamav2_tpu.models import forward as F
             rope = (sin_rows, cos_rows) if with_rope else None
             ids = jnp.zeros(embeds.shape[:2], jnp.int32)
             if moe_stats:
                 F._MOE_STATS[0] = []
+                if lens is not None:
+                    # pad columns must not route (same fix as the text
+                    # prefill paths: they consume expert capacity and
+                    # inflate the drop counter)
+                    b, t = ids.shape
+                    valid = (jnp.arange(t, dtype=jnp.int32)[None, :]
+                             < lens[:, None])
+                    F._MOE_VALID[0] = valid.reshape(-1)
             try:
                 _, cache = self._paged_forward(
                     w, ids, cache, block_table, cache_seqlen,
@@ -1036,6 +1065,7 @@ class DynamicGenerator:
             finally:
                 if moe_stats:
                     F._MOE_STATS[0] = None
+                    F._MOE_VALID[0] = None
             if moe_stats:
                 return cache, dropped
             return cache
@@ -1488,12 +1518,14 @@ class DynamicGenerator:
                 rope = (jnp.asarray(sr), jnp.asarray(cr))
             fn = self._get_prefill_mm_fn(t_bucket, p_bucket,
                                          rope is not None)
+            lens = (jnp.asarray(np.asarray([t], np.int32))
+                    if self._moe_prefill_stats() else None)
             if rope is not None:
                 out = fn(self.model.weights, self.cache, embeds,
-                         bt, pos_a, *rope)
+                         bt, pos_a, *rope, lens=lens)
             else:
                 out = fn(self.model.weights, self.cache, embeds,
-                         bt, pos_a)
+                         bt, pos_a, lens=lens)
             self.cache = self._take_moe_drops(out, job)
         else:
             fn = self._get_prefill_fn(t_bucket, p_bucket)

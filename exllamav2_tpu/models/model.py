@@ -69,7 +69,11 @@ class Model:
         if prescale:
             from exllamav2_tpu.ops.dequant import precompute_model_scales
             w = precompute_model_scales(w)
-        return cls(w, st, cfg)
+        m = cls(w, st, cfg)
+        # record the opt-out so DynamicGenerator's own prescale default
+        # doesn't silently re-apply what the caller explicitly disabled
+        m._prescale = prescale
+        return m
 
     def new_cache(self, batch: int = 1, max_seq: int | None = None,
                   dtype=jnp.bfloat16) -> KVCache:

@@ -323,10 +323,14 @@ def merge_linears(lins):
             for l in lins])
     out = QuantLinear(segments=tuple(segs), perm=lins[0].perm,
                       bias=bias, k=k0, n=n, n_orig=n)
-    if any(getattr(s, "act8", False) for s in out.segments):
-        # act8 segments require scale_f, which the merge rebuilt as None
-        # (set_loras re-merges on adapter detach) — re-prescale here so
-        # a merged w4a8 linear stays self-consistent
+    if any(getattr(s, "act8", False) for s in out.segments) or any(
+            getattr(s, "scale_f", None) is not None
+            for l in lins for s in l.segments):
+        # the merge rebuilt EXL2 segments with scale_f=None; re-prescale
+        # when the sources carried prescaled scales (the production
+        # default — a LoRA attach/detach cycle re-merges via set_loras
+        # and would otherwise silently drop the prescale win) and always
+        # for act8 segments (the w4a8 kernel requires scale_f)
         out = precompute_scales_linear(out)
     return out
 

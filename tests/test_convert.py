@@ -248,3 +248,20 @@ def test_convert_resume_from_partial(tmp_path):
     from exllamav2_tpu.models.model import Model
     m = Model.from_dir(out)
     assert m.config.quant_method == "exl2"
+
+
+def test_resume_rejects_group_size_change(tmp_path):
+    """Resume state is priced on one group-size grid; resuming the same
+    out_dir at a different -gs must refuse loudly (mixed-group output
+    and mispriced strategy otherwise)."""
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    make_tiny_llama(src, quant=None, seed=12, vocab=256, hidden=128,
+                    layers=1, heads=4, kv_heads=2, inter=256, max_pos=512)
+    convert_model(src, out, bits=4.0, cal_rows=2, cal_len=64,
+                  progress=lambda *a: None)
+    with pytest.raises(ValueError, match="group_size"):
+        convert_model(src, out, bits=4.0, cal_rows=2, cal_len=64,
+                      group_size=128, progress=lambda *a: None)

@@ -413,12 +413,19 @@ def test_ttft_slo_adaptive_burst(setup):
     base = _gen(model, decode_burst=1).generate(
         prompt, max_new_tokens=16, settings=Settings.greedy())
     tight = _gen(model, decode_burst=8, ttft_slo_ms=0.001)
+    # keep the recorded TTFT inside the policy's freshness window even
+    # when CPU compiles stretch this test past TTFT_WINDOW_S
+    tight.TTFT_WINDOW_S = 1e9
     got = tight.generate(prompt, max_new_tokens=16,
                          settings=Settings.greedy())
     assert got == base
     # the recorded TTFT breaches the 1us target -> cap must be k//4
     assert len(tight._ttft_recent) == 1
     assert tight._burst_limit() == 2
+    # and a stale entry ages out: with a zero-width window the policy
+    # sees no samples and restores the full burst
+    tight.TTFT_WINDOW_S = 0.0
+    assert tight._burst_limit() == 8
     loose = _gen(model, decode_burst=8, ttft_slo_ms=60000.0)
     got2 = loose.generate(prompt, max_new_tokens=16,
                           settings=Settings.greedy())

