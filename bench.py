@@ -16,7 +16,8 @@ rate is known, and the line is re-emitted with a growing `extra` dict
 after each companion leg. Leg order = information value (round 5;
 round 4 lost every serving row to warmup compiles): serving aggregate
 (8 jobs) -> serving16 -> throughput-at-500ms-p50 SLO row -> W4A8
-opt-in row -> TTFT-512/prefill -> batch-8 -> scan (diagnostic) ->
+opt-in row -> flagship W4A8 (GPTQ gs128 + merged, the format where
+int8-MXU wins) -> TTFT-512/prefill -> batch-8 -> scan (diagnostic) ->
 A/B (merged_prescale, unprescaled base) -> reference-table sweep. The
 LAST line printed is always the most complete result; every line is
 valid on its own. Companions are the BASELINE.json north-star metrics.
@@ -110,8 +111,9 @@ def main():
     # kill captures everything measured up to that point; the budget is
     # only a graceful-degradation ladder, not a safety requirement.
     # 2400 s ran every leg to completion on-chip this round
-    # (docs/sessions/r5_bench_full.log)
-    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    # (docs/sessions/r5_bench_full.log); +600 covers the flagship
+    # GPTQ-w4a8 leg added after that run
+    budget = float(os.environ.get("BENCH_BUDGET_S", 3000))
     import functools
     from exllamav2_tpu.utils.testing import random_model_weights
     from exllamav2_tpu.models.forward import model_forward
@@ -292,6 +294,49 @@ def main():
             del cache_w, w8
         except Exception as e:                      # never lose the record
             _EXTRA["w4a8_tokens_per_s_error"] = _err_detail(e)
+        _emit()
+
+    # flagship W4A8 config: GPTQ gs128 + merged streams — the format
+    # where the int8-MXU form wins (EXL2 gs32 measured-and-refuted:
+    # K=32 group dots are MXU-pass-bound, docs/DESIGN.md round 5; the
+    # convert pipeline offers -gs 128 for new conversions). Runs on its
+    # own generated weights so the default EXL2 record also carries the
+    # repo's best single-stream ratio vs the published GPTQ-gs128 4090
+    # row (reference README.md:65; 126.96 t/s = 0.62x measured in
+    # docs/sessions/r5_w4a8_gptq_merged.log).
+    if (os.environ.get("BENCH_W4A8", "1") == "1" and fmt == "exl2"
+            and geom == "7b" and bits == 4 and left() > 150):
+        try:
+            from exllamav2_tpu.ops.dequant import (enable_w4a8,
+                                                   merge_serving_weights,
+                                                   precompute_model_scales)
+            wg, _stg = random_model_weights(max_seq=max_seq, bits=4,
+                                            seed=0, fmt="gptq",
+                                            **GEOMS["7b"])
+            wg = enable_w4a8(precompute_model_scales(
+                merge_serving_weights(wg)))
+            cache_g = KVCache.alloc(st.num_layers, 1, max_seq,
+                                    st.num_kv_heads, st.head_dim)
+            tok = jnp.ones((1, 1), jnp.int32)
+            for i in range(3):
+                p = prefill + i
+                tok, cache_g = decode(wg, tok, cache_g, jnp.int32(p),
+                                      limit(p + 1))
+            np.asarray(tok)
+            t0 = time.perf_counter()
+            g_steps = max(32, steps // 2)
+            for i in range(g_steps):
+                p = prefill + 3 + i
+                tok, cache_g = decode(wg, tok, cache_g, jnp.int32(p),
+                                      limit(p + 1))
+            np.asarray(tok)
+            tpsg = g_steps / (time.perf_counter() - t0)
+            _EXTRA["w4a8_gptq_gs128_tokens_per_s"] = round(tpsg, 2)
+            _EXTRA["w4a8_gptq_gs128_vs_baseline"] = round(
+                tpsg / _GPTQ_BASELINES["7b"], 4)
+            del cache_g, wg
+        except Exception as e:                      # never lose the record
+            _EXTRA["w4a8_gptq_gs128_tokens_per_s_error"] = _err_detail(e)
         _emit()
 
     # ---- prefill TTFT: 512-token prompt -> first sampled token ----
