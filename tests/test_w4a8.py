@@ -206,6 +206,52 @@ def test_enable_w4a8_model_tree():
                        for s in w8.head.segments)
 
 
+def test_w4a8_flagship_chain_gptq_merged():
+    """The flagship bench leg's exact weight-prep chain (GPTQ gs128 ->
+    merge_serving_weights -> precompute_model_scales -> enable_w4a8;
+    bench.py `w4a8_gptq_gs128_tokens_per_s`) decodes within the int8
+    activation noise envelope of the exact forward."""
+    import functools
+    import jax
+    from exllamav2_tpu.utils.testing import random_model_weights
+    from exllamav2_tpu.models.forward import model_forward
+    from exllamav2_tpu.cache import KVCache
+
+    w, st = random_model_weights(max_seq=64, bits=4, seed=3, fmt="gptq",
+                                 vocab=512, hidden=256, layers=2,
+                                 heads=4, kv_heads=4, inter=512)
+    wf = D.enable_w4a8(D.precompute_model_scales(
+        D.merge_serving_weights(w)))
+    q = wf.layers[0].attn.q
+    assert all(s.act8 for s in q.segments)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def step(wv, tok, cache, past_len, attn_limit):
+        logits, cache = model_forward(wv, st, tok, cache, past_len,
+                                      attn_limit=attn_limit)
+        return logits, cache
+
+    def run(wv):
+        cache = KVCache.alloc(st.num_layers, 1, 64, st.num_kv_heads,
+                              st.head_dim)
+        tok = jnp.ones((1, 1), jnp.int32)
+        outs = []
+        for i in range(4):
+            logits, cache = step(wv, tok, cache, jnp.int32(8 + i), 64)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(
+                jnp.int32)[:, None]
+            outs.append(np.asarray(logits[:, -1, :]))
+        return np.stack(outs)
+
+    exact = run(D.precompute_model_scales(w))
+    got = run(wf)
+    scale = np.abs(exact).mean() + 1e-6
+    rel = np.abs(got - exact).mean() / scale
+    assert rel < 0.05, f"mean relative logit deviation {rel:.4f}"
+    # greedy path agreement on the fixture
+    assert (exact.argmax(-1) == got.argmax(-1)).all()
+
+
 @pytest.mark.slow
 def test_w4a8_gs128_convert_serve(tmp_path):
     """The product recipe for the int8-MXU decode mode: convert with
