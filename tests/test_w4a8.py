@@ -206,6 +206,47 @@ def test_enable_w4a8_model_tree():
                        for s in w8.head.segments)
 
 
+def test_w4a8_kt_padding_exact():
+    """_pad_w4a8_rows zero-pads awkward K (rows_pad not a multiple of
+    lcm(SUB_BLOCK, 8*gr)) so the tile picker gets kt=1024 instead of
+    the whole-K fallback (on-chip: 460 -> 713 GB/s on the 7B down_proj
+    shape). The padded kernel must agree with the unpadded one — the
+    extra rows carry zero activations, so every added partial is zero."""
+    rng = np.random.default_rng(9)
+    k, n, gs = 8960, 128, 128       # rows_pad 8960 % 1024 = 768 -> 9216
+    g = k // gs
+    qv = rng.integers(0, 16, size=(k, n)).astype(np.uint16)
+    zeros = rng.integers(4, 12, size=(g, n)).astype(np.uint16)
+    scales = rng.random((g, n)).astype(np.float32) * 0.02 + 0.001
+    t = F.gptq_pack(qv, zeros, scales, bits=4)
+    base = Q.from_gptq(t)
+    padded = D.enable_w4a8_linear(base)
+    assert padded.segments[0].rows_pad == 9216
+    assert padded.segments[0].rows == base.segments[0].rows
+    unpadded = D.enable_w4a8_linear(base)
+    import dataclasses
+    unpadded = dataclasses.replace(
+        unpadded,
+        segments=tuple(
+            dataclasses.replace(
+                s,
+                planes=base.segments[i].planes,
+                scale=base.segments[i].scale,
+                zero=base.segments[i].zero,
+                scale_bf=s.scale_bf[:base.segments[i].scale.shape[0]],
+                zs_bf=s.zs_bf[:base.segments[i].scale.shape[0]])
+            for i, s in enumerate(unpadded.segments)))
+    x = rng.standard_normal((2, k)).astype(np.float32) * 0.1
+    yp = np.asarray(M.qmm(jnp.asarray(x), padded, fused=True))[:, :n]
+    yu = np.asarray(M.qmm(jnp.asarray(x), unpadded, fused=True))[:, :n]
+    np.testing.assert_allclose(yp, yu, rtol=1e-5, atol=1e-6)
+    # a small-K segment must NOT pad (overhead > 12.5%)
+    _, small = _exl2_layer(rng, 256, 128, [4] * 2, gs=128)
+    # (EXL2 path: padding only applies to GPTQ segments)
+    sm = D.enable_w4a8_linear(small)
+    assert sm.segments[0].rows_pad == small.segments[0].rows_pad
+
+
 def test_w4a8_flagship_chain_gptq_merged():
     """The flagship bench leg's exact weight-prep chain (GPTQ gs128 ->
     merge_serving_weights -> precompute_model_scales -> enable_w4a8;
